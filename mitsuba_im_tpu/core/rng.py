@@ -1,0 +1,195 @@
+"""Counter-based per-lane RNG for wavefront rendering.
+
+The reference uses a per-thread SFMT19937 stream cloned per core
+(``/root/reference/include/mitsuba/core/random.h:88``,
+``renderjob.cpp:57-68``).  The TPU-native design replaces stateful streams
+with a *stateless counter-based hash*: every random draw is a pure function
+of ``(seed, pixel_index, sample_index, dimension)``.  This gives
+
+- bitwise determinism independent of device count and batch partitioning,
+- exact path-replay for backprop (re-derive the same numbers, store nothing),
+- trivial reimplementation inside Pallas kernels (integer ops only).
+
+Hash: PCG4D (Jarzynski & Olano, JCGT 2020) — public-domain 4-word mix used
+widely in production GPU renderers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .types import pytree_dataclass, static_field
+
+U32 = jnp.uint32
+
+
+def pcg4d(v: jax.Array) -> jax.Array:
+    """(..., 4) uint32 -> (..., 4) uint32 mixed output."""
+    v = v.astype(U32)
+    v = v * U32(1664525) + U32(1013904223)
+    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return jnp.stack([x, y, z, w], axis=-1)
+
+
+def _to_unit_float(bits: jax.Array) -> jax.Array:
+    """uint32 -> float32 in [0, 1) with 24-bit mantissa resolution."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def hash_u32(*words) -> jax.Array:
+    """Mix up to 4 integer words into one uint32."""
+    ws = [jnp.asarray(w).astype(U32) for w in words]
+    while len(ws) < 4:
+        ws.append(jnp.zeros_like(ws[0]))
+    return pcg4d(jnp.stack(jnp.broadcast_arrays(*ws[:4]), axis=-1))[..., 0]
+
+
+# Sampler kinds (static dispatch codes).
+INDEPENDENT = 0
+STRATIFIED = 1
+LDSAMPLER = 2  # 0,2-sequence on dims 0-1, independent beyond
+SOBOL = 3
+HALTON = 4
+HAMMERSLEY = 5
+
+
+@pytree_dataclass
+class SamplerState:
+    """Per-lane sampler state flowing through the wavefront loop.
+
+    Two-level scheme: ``base`` is a 4-word hash of (pixel, sample, seed)
+    computed once at sampler creation; each draw re-hashes (base, dim).  This
+    measurably decorrelates adjacent-dimension streams vs a single-level
+    counter hash, at one PCG4D round per draw.
+    """
+
+    pixel: jax.Array  # (...,) uint32 flattened pixel index
+    sample: jax.Array  # (...,) uint32 sample index within pixel
+    base: jax.Array  # (..., 4) uint32 per-(pixel, sample, seed) state
+    dim: jax.Array  # (...,) uint32 next dimension to consume
+    seed: jax.Array  # () or (...,) uint32 global seed / scramble
+    kind: int = static_field(default=INDEPENDENT)
+    spp: int = static_field(default=1)
+
+    def draw_bits(self, n_words: int) -> jax.Array:
+        d = self.dim.astype(U32)
+        ctr = jnp.stack(
+            [
+                self.base[..., 0],
+                self.base[..., 1],
+                self.base[..., 2] ^ d,
+                self.base[..., 3],
+            ],
+            axis=-1,
+        )
+        return pcg4d(ctr)[..., :n_words]
+
+
+def make_sampler(pixel, sample, seed, kind=INDEPENDENT, spp=1) -> SamplerState:
+    pixel = jnp.asarray(pixel).astype(U32)
+    sample = jnp.broadcast_to(jnp.asarray(sample).astype(U32), pixel.shape)
+    seed = jnp.asarray(seed).astype(U32)
+    base = pcg4d(
+        jnp.stack(
+            jnp.broadcast_arrays(
+                pixel, sample, jnp.broadcast_to(seed, pixel.shape),
+                jnp.full_like(pixel, U32(0x9E3779B9)),
+            ),
+            axis=-1,
+        )
+    )
+    return SamplerState(
+        pixel=pixel,
+        sample=sample,
+        base=base,
+        dim=jnp.zeros_like(pixel),
+        seed=seed,
+        kind=kind,
+        spp=spp,
+    )
+
+
+def _stratified_remap(s: SamplerState, u: jax.Array, dim0: jax.Array) -> jax.Array:
+    """Jittered stratification of dims 0,1 over a near-square grid.
+
+    Capability analog of the reference stratified/ldsampler image-plane
+    stratification (``src/samplers/stratified.cpp``): sample i of spp lands
+    in stratum i (x-major), jittered by the independent value.
+    """
+    import math
+
+    res_x = int(math.isqrt(s.spp))
+    res_x = max(res_x, 1)
+    res_y = max(s.spp // res_x, 1)
+    n = res_x * res_y
+    idx = (s.sample % U32(n)).astype(jnp.float32)
+    sx = jnp.mod(idx, float(res_x))
+    sy = jnp.floor(idx / float(res_x))
+    u0 = (sx + u[..., 0]) / res_x
+    u1 = (sy + u[..., 1]) / res_y
+    stratified = jnp.stack([u0, u1], axis=-1)
+    return jnp.where((dim0 == 0)[..., None], stratified, u)
+
+
+def _sobol02(s: SamplerState, dim0: jax.Array) -> jax.Array:
+    """Owen-ish scrambled (0,2)-sequence for the first 2D pair (ldsampler)."""
+    i = s.sample.astype(U32)
+    # van der Corput (base 2) and Sobol' second dimension.
+    v = i
+    v = ((v & U32(0x55555555)) << 1) | ((v & U32(0xAAAAAAAA)) >> 1)
+    v = ((v & U32(0x33333333)) << 2) | ((v & U32(0xCCCCCCCC)) >> 2)
+    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v & U32(0xF0F0F0F0)) >> 4)
+    v = ((v & U32(0x00FF00FF)) << 8) | ((v & U32(0xFF00FF00)) >> 8)
+    v = (v << 16) | (v >> 16)
+
+    # Sobol dim-2 via direction-number loop (unrolled, static 32 iters).
+    x = jnp.zeros_like(i)
+    c = U32(1 << 31)
+    ii = i
+    for _ in range(32):
+        x = jnp.where((ii & U32(1)) != 0, x ^ c, x)
+        c = c ^ (c >> 1)
+        ii = ii >> 1
+
+    scr = pcg4d(
+        jnp.stack(
+            jnp.broadcast_arrays(
+                s.pixel.astype(U32),
+                jnp.broadcast_to(jnp.asarray(s.seed, U32), s.pixel.shape),
+                jnp.full_like(s.pixel, 77).astype(U32),
+                jnp.zeros_like(s.pixel).astype(U32),
+            ),
+            axis=-1,
+        )
+    )
+    return jnp.stack(
+        [_to_unit_float(v ^ scr[..., 0]), _to_unit_float(x ^ scr[..., 1])], axis=-1
+    )
+
+
+def next_1d(s: SamplerState) -> tuple[SamplerState, jax.Array]:
+    u = _to_unit_float(s.draw_bits(1)[..., 0])
+    return s.replace(dim=s.dim + U32(1)), u
+
+
+def next_2d(s: SamplerState) -> tuple[SamplerState, jax.Array]:
+    bits = s.draw_bits(2)
+    u = _to_unit_float(bits)
+    if s.kind == STRATIFIED:
+        u = _stratified_remap(s, u, s.dim)
+    elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
+        ld = _sobol02(s, s.dim)
+        u = jnp.where((s.dim == 0)[..., None], ld, u)
+    return s.replace(dim=s.dim + U32(2)), u

@@ -1,0 +1,23 @@
+"""Test configuration: run tests on a virtual 8-device CPU mesh.
+
+The driver benchmarks on the real TPU chip; tests validate correctness and
+multi-device sharding on the host platform (fast, deterministic), per the
+multi-host-testing strategy in SURVEY.md §4.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
