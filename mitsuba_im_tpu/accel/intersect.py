@@ -1,0 +1,335 @@
+"""Ray-scene intersection kernels (closest-hit and any-hit).
+
+Replaces the reference's kd-tree traversal stack
+(``/root/reference/include/mitsuba/render/skdtree.h:431`` Havran traversal,
+``triaccel.h:37`` Wald projection test) with two TPU-native strategies:
+
+1. **Brute-force broadcast** — every ray tests every primitive, fully
+   vectorized over (rays x prims).  For small scenes (Cornell-box class)
+   this saturates the VPU/MXU with zero divergence and is the fastest path.
+2. **Threaded-BVH walk** — stackless skip-link traversal
+   (:mod:`mitsuba_im_tpu.accel.bvh`) as a vectorized ``lax.while_loop``:
+   per-lane state is one node index; leaves run a statically-unrolled
+   Moeller-Trumbore test.  Used when the primitive count crosses
+   ``BRUTE_FORCE_MAX``.
+
+Both return identical :class:`Hit` records; analytic spheres/disks are always
+tested brute-force (their counts are tiny).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Float, Int, INVALID
+from ..core import math as m
+from ..scene.geometry import (
+    Geometry,
+    Hit,
+    KIND_NONE,
+    KIND_TRI,
+    KIND_SPHERE,
+    KIND_DISK,
+)
+from .bvh import FlatBVH
+
+BRUTE_FORCE_MAX = 512  # tris; above this the BVH path is used
+BIG = 3.0e37
+
+
+# ---------------------------------------------------------------------------
+# Primitive tests (broadcast over a trailing primitive axis)
+# ---------------------------------------------------------------------------
+
+def _moeller_trumbore(o, d, p0, e1, e2, tmin, tmax):
+    """Batched MT test. o,d: (R, 1, 3); p0,e1,e2: (1|R, P, 3) -> (R, P) each.
+    Returns (hit_mask, t, u, v)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+    )
+    return hit, t, u, v
+
+
+def _sphere_test(o, d, center, radius, tmin, tmax):
+    """Quadric sphere test; returns nearest valid root per (R, S)."""
+    L = o - center
+    b = 2.0 * jnp.sum(d * L, axis=-1)
+    c = jnp.sum(L * L, axis=-1) - radius * radius
+    a = jnp.sum(d * d, axis=-1)
+    disc = b * b - 4 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically stable roots
+    sb = jnp.where(b >= 0.0, 1.0, -1.0)  # sign(0) must be 1, not 0
+    q = -0.5 * (b + sb * sq)
+    t0 = q / jnp.where(a == 0, 1.0, a)
+    t1 = c / jnp.where(q == 0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t = jnp.where((lo > tmin) & (lo < tmax), lo, hi)
+    hit = ok & (t > tmin) & (t < tmax) & (radius > 0)
+    return hit, t
+
+
+def _disk_test(o, d, center, n, s, t_axis, radius, tmin, tmax):
+    denom = jnp.sum(d * n, axis=-1)
+    tt = jnp.sum((center - o) * n, axis=-1) / jnp.where(denom == 0, 1.0, denom)
+    p = o + d * tt[..., None]
+    local = p - center
+    r2 = jnp.sum(local * local, axis=-1) - jnp.sum(local * n, axis=-1) ** 2
+    hit = (
+        (jnp.abs(denom) > 1e-12)
+        & (tt > tmin)
+        & (tt < tmax)
+        & (r2 <= radius * radius)
+        & (radius > 0)
+    )
+    return hit, tt
+
+
+# ---------------------------------------------------------------------------
+# Brute-force closest hit
+# ---------------------------------------------------------------------------
+
+def _closest_from_masked(t, mask, axis=-1):
+    tm = jnp.where(mask, t, BIG)
+    idx = jnp.argmin(tm, axis=axis)
+    tbest = jnp.take_along_axis(tm, idx[..., None], axis=axis)[..., 0]
+    return idx.astype(Int), tbest, tbest < BIG
+
+
+def intersect_brute(geom: Geometry, o, d, tmin, tmax) -> Hit:
+    """All-primitives test; o, d: (R, 3); tmin/tmax: scalar or (R,)."""
+    R = o.shape[0]
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
+
+    th, tt, tu, tv = _moeller_trumbore(
+        o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
+        tmin_b, tmax_b,
+    )
+    ti, tbest, tvalid = _closest_from_masked(tt, th)
+
+    sh, st = _sphere_test(
+        o_b, d_b, geom.sph_center[None], geom.sph_radius[None], tmin_b, tmax_b
+    )
+    si, sbest, svalid = _closest_from_masked(st, sh)
+
+    dh, dt = _disk_test(
+        o_b, d_b, geom.disk_center[None], geom.disk_n[None], geom.disk_s[None],
+        geom.disk_t[None], geom.disk_radius[None], tmin_b, tmax_b,
+    )
+    di, dbest, dvalid = _closest_from_masked(dt, dh)
+
+    return _merge_hits(geom, (ti, tbest, tvalid, tu, tv), (si, sbest, svalid), (di, dbest, dvalid))
+
+
+def _merge_hits(geom, tri, sph, disk):
+    ti, tbest, tvalid, tu_all, tv_all = tri
+    si, sbest, svalid = sph
+    di, dbest, dvalid = disk
+
+    tbest = jnp.where(tvalid, tbest, BIG)
+    sbest = jnp.where(svalid, sbest, BIG)
+    dbest = jnp.where(dvalid, dbest, BIG)
+
+    best = jnp.minimum(jnp.minimum(tbest, sbest), dbest)
+    kind = jnp.where(
+        best >= BIG,
+        KIND_NONE,
+        jnp.where(tbest == best, KIND_TRI, jnp.where(sbest == best, KIND_SPHERE, KIND_DISK)),
+    ).astype(Int)
+    prim = jnp.where(kind == KIND_TRI, ti, jnp.where(kind == KIND_SPHERE, si, di))
+    if tu_all is not None:
+        u = jnp.take_along_axis(tu_all, ti[..., None], axis=-1)[..., 0]
+        v = jnp.take_along_axis(tv_all, ti[..., None], axis=-1)[..., 0]
+    else:
+        u = jnp.zeros_like(best)
+        v = jnp.zeros_like(best)
+    u = jnp.where(kind == KIND_TRI, u, 0.0)
+    v = jnp.where(kind == KIND_TRI, v, 0.0)
+    shape = jnp.where(
+        kind == KIND_TRI,
+        geom.tri_shape[prim],
+        jnp.where(
+            kind == KIND_SPHERE, geom.sph_shape[prim], geom.disk_shape[prim]
+        ),
+    )
+    shape = jnp.where(kind == KIND_NONE, INVALID, shape)
+    return Hit(
+        t=jnp.where(kind == KIND_NONE, BIG, best),
+        kind=kind,
+        prim=jnp.where(kind == KIND_NONE, 0, prim).astype(Int),
+        shape=shape.astype(Int),
+        u=u,
+        v=v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threaded-BVH closest hit
+# ---------------------------------------------------------------------------
+
+def _slab_test(o, inv_d, lo, hi, tmin, tmax):
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(tn, axis=-1), tmin)
+    t_far = jnp.minimum(jnp.min(tf, axis=-1), tmax)
+    return t_near <= t_far
+
+
+def intersect_bvh(bvh: FlatBVH, geom: Geometry, o, d, tmin, tmax, any_hit=False):
+    """Stackless skip-link traversal, vectorized over a flat ray batch."""
+    R = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))
+    d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv_d = 1.0 / d_safe
+    LEAF = bvh.leaf_size
+
+    init = dict(
+        node=jnp.zeros((R,), Int),
+        t=tmax,
+        prim=jnp.zeros((R,), Int),
+        u=jnp.zeros((R,), Float),
+        v=jnp.zeros((R,), Float),
+        found=jnp.zeros((R,), bool),
+    )
+
+    def cond(st):
+        return jnp.any(st["node"] >= 0)
+
+    def body(st):
+        node = jnp.maximum(st["node"], 0)
+        active = st["node"] >= 0
+        lo = bvh.node_lo[node]
+        hi = bvh.node_hi[node]
+        count = bvh.node_count[node]
+        start = bvh.node_start[node]
+        skip = bvh.node_skip[node]
+
+        if any_hit:
+            limit = jnp.where(st["found"], -jnp.inf, st["t"])
+        else:
+            limit = st["t"]
+        box_hit = _slab_test(o, inv_d, lo, hi, tmin, limit) & active
+        is_leaf = count > 0
+
+        t_cur, u_cur, v_cur, p_cur, f_cur = st["t"], st["u"], st["v"], st["prim"], st["found"]
+        do_prims = box_hit & is_leaf
+        for k in range(LEAF):
+            pid = bvh.order[jnp.clip(start + k, 0, bvh.order.shape[0] - 1)]
+            valid = do_prims & (k < count)
+            h, t, u, v = _moeller_trumbore(
+                o, d, geom.tri_p0[pid], geom.tri_e1[pid], geom.tri_e2[pid],
+                tmin, t_cur,
+            )
+            h = h & valid
+            t_cur = jnp.where(h, t, t_cur)
+            u_cur = jnp.where(h, u, u_cur)
+            v_cur = jnp.where(h, v, v_cur)
+            p_cur = jnp.where(h, pid, p_cur)
+            f_cur = f_cur | h
+
+        # descend into near child on inner-node hit, else follow skip
+        next_node = jnp.where(box_hit & ~is_leaf, node + 1, skip)
+        next_node = jnp.where(active, next_node, -1)
+        if any_hit:
+            next_node = jnp.where(f_cur, -1, next_node)
+        return dict(node=next_node, t=t_cur, prim=p_cur, u=u_cur, v=v_cur, found=f_cur)
+
+    st = jax.lax.while_loop(cond, body, init)
+    return st  # raw dict; callers merge with analytic prims
+
+
+def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> Hit:
+    """Closest-hit entry point: picks brute-force or BVH for triangles and
+    always tests analytic prims."""
+    if bvh is None or geom.n_tris <= BRUTE_FORCE_MAX:
+        return intersect_brute(geom, o, d, tmin, tmax)
+
+    R = o.shape[0]
+    st = intersect_bvh(bvh, geom, o, d, tmin, tmax)
+    ti, tbest, tvalid = st["prim"], st["t"], st["found"]
+    # recompute u,v from stored
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
+    sh, stt = _sphere_test(
+        o_b, d_b, geom.sph_center[None], geom.sph_radius[None], tmin_b, tmax_b
+    )
+    si, sbest, svalid = _closest_from_masked(stt, sh)
+    dh, dt = _disk_test(
+        o_b, d_b, geom.disk_center[None], geom.disk_n[None], geom.disk_s[None],
+        geom.disk_t[None], geom.disk_radius[None], tmin_b, tmax_b,
+    )
+    di, dbest, dvalid = _closest_from_masked(dt, dh)
+
+    tbest_m = jnp.where(tvalid, tbest, BIG)
+    sbest_m = jnp.where(svalid, sbest, BIG)
+    dbest_m = jnp.where(dvalid, dbest, BIG)
+    best = jnp.minimum(jnp.minimum(tbest_m, sbest_m), dbest_m)
+    kind = jnp.where(
+        best >= BIG,
+        KIND_NONE,
+        jnp.where(tbest_m == best, KIND_TRI, jnp.where(sbest_m == best, KIND_SPHERE, KIND_DISK)),
+    ).astype(Int)
+    prim = jnp.where(kind == KIND_TRI, ti, jnp.where(kind == KIND_SPHERE, si, di)).astype(Int)
+    shape = jnp.where(
+        kind == KIND_TRI, geom.tri_shape[prim],
+        jnp.where(kind == KIND_SPHERE, geom.sph_shape[prim], geom.disk_shape[prim]),
+    )
+    return Hit(
+        t=jnp.where(kind == KIND_NONE, BIG, best),
+        kind=kind,
+        prim=jnp.where(kind == KIND_NONE, 0, prim),
+        shape=jnp.where(kind == KIND_NONE, INVALID, shape).astype(Int),
+        u=jnp.where(kind == KIND_TRI, st["u"], 0.0),
+        v=jnp.where(kind == KIND_TRI, st["v"], 0.0),
+    )
+
+
+def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> jax.Array:
+    """Any-hit (shadow ray) query -> bool per ray."""
+    R = o.shape[0]
+    if bvh is None or geom.n_tris <= BRUTE_FORCE_MAX:
+        o_b, d_b = o[:, None, :], d[:, None, :]
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
+        th, *_ = _moeller_trumbore(
+            o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
+            tmin_b, tmax_b,
+        )
+        blocked = jnp.any(th, axis=-1)
+    else:
+        st = intersect_bvh(bvh, geom, o, d, tmin, tmax, any_hit=True)
+        blocked = st["found"]
+        o_b, d_b = o[:, None, :], d[:, None, :]
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
+    sh, _ = _sphere_test(
+        o_b, d_b, geom.sph_center[None], geom.sph_radius[None], tmin_b, tmax_b
+    )
+    dh, _ = _disk_test(
+        o_b, d_b, geom.disk_center[None], geom.disk_n[None], geom.disk_s[None],
+        geom.disk_t[None], geom.disk_radius[None], tmin_b, tmax_b,
+    )
+    return blocked | jnp.any(sh, axis=-1) | jnp.any(dh, axis=-1)

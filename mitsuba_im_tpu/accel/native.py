@@ -1,0 +1,102 @@
+"""ctypes bindings for the native runtime library (C++ BVH builder).
+
+Builds ``libmitpu_native.so`` on first use with the in-tree Makefile and
+falls back to the pure-numpy builder in :mod:`bvh` if a toolchain is
+unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libmitpu_native.so"))
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def load_native():
+    """Return the loaded native library, building it if needed (or None)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["make", "-s"],
+                    cwd=os.path.abspath(_NATIVE_DIR),
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.mitpu_build_bvh.restype = ctypes.c_int32
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def build_bvh_native(prim_lo, prim_hi, prim_cent, leaf_size=4):
+    """C++ binned-SAH build. Returns dict of flat arrays or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = np.int32(len(prim_lo))
+    if n == 0:
+        return None
+    max_nodes = 2 * int(n)
+    node_lo = np.empty((max_nodes, 3), np.float32)
+    node_hi = np.empty((max_nodes, 3), np.float32)
+    node_start = np.empty(max_nodes, np.int32)
+    node_count = np.empty(max_nodes, np.int32)
+    node_skip = np.empty(max_nodes, np.int32)
+    order = np.empty(int(n), np.int32)
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    ce = np.ascontiguousarray(prim_cent, np.float32)
+    n_nodes = lib.mitpu_build_bvh(
+        ctypes.c_int32(n), _f32p(lo), _f32p(hi), _f32p(ce),
+        ctypes.c_int32(leaf_size), _f32p(node_lo), _f32p(node_hi),
+        _i32p(node_start), _i32p(node_count), _i32p(node_skip), _i32p(order),
+    )
+    return dict(
+        node_lo=node_lo[:n_nodes].copy(),
+        node_hi=node_hi[:n_nodes].copy(),
+        node_start=node_start[:n_nodes].copy(),
+        node_count=node_count[:n_nodes].copy(),
+        node_skip=node_skip[:n_nodes].copy(),
+        order=order,
+    )
+
+
+def tri_bounds_native(p0, e1, e2):
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(p0)
+    lo = np.empty((n, 3), np.float32)
+    hi = np.empty((n, 3), np.float32)
+    ce = np.empty((n, 3), np.float32)
+    p0 = np.ascontiguousarray(p0, np.float32)
+    e1 = np.ascontiguousarray(e1, np.float32)
+    e2 = np.ascontiguousarray(e2, np.float32)
+    lib.mitpu_tri_bounds(
+        ctypes.c_int32(n), _f32p(p0), _f32p(e1), _f32p(e2),
+        _f32p(lo), _f32p(hi), _f32p(ce),
+    )
+    return lo, hi, ce

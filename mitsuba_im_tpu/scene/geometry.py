@@ -1,0 +1,221 @@
+"""Flattened scene geometry: SoA primitive tables + surface interactions.
+
+The TPU analog of the reference's Shape/TriMesh/Intersection layer
+(``/root/reference/include/mitsuba/render/shape.h:178``,
+``trimesh.h:68``): all triangle meshes are concatenated into one SoA soup;
+analytic spheres and disks keep exact quadric intersections.  Per-shape
+attributes (BSDF id, emitter id, media) live in small indexed tables.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, static_field, Float, Int, INVALID
+from ..core import math as m
+
+# Hit kinds
+KIND_NONE = 0
+KIND_TRI = 1
+KIND_SPHERE = 2
+KIND_DISK = 3
+
+
+@pytree_dataclass
+class Geometry:
+    """Device-resident primitive soup. Arrays are padded so every kind has at
+    least one (degenerate, unhittable) entry — keeps shapes static."""
+
+    # triangles
+    tri_p0: jax.Array  # (T, 3)
+    tri_e1: jax.Array  # (T, 3)
+    tri_e2: jax.Array  # (T, 3)
+    tri_n0: jax.Array  # (T, 3) shading normals at the three vertices
+    tri_n1: jax.Array
+    tri_n2: jax.Array
+    tri_uv0: jax.Array  # (T, 2)
+    tri_uv1: jax.Array
+    tri_uv2: jax.Array
+    tri_shape: jax.Array  # (T,) int32
+
+    # analytic spheres
+    sph_center: jax.Array  # (S, 3)
+    sph_radius: jax.Array  # (S,)
+    sph_shape: jax.Array  # (S,) int32
+
+    # analytic disks: world-space center, orthonormal frame, radius
+    disk_center: jax.Array  # (D, 3)
+    disk_n: jax.Array  # (D, 3)
+    disk_s: jax.Array  # (D, 3)
+    disk_t: jax.Array  # (D, 3)
+    disk_radius: jax.Array  # (D,)
+    disk_shape: jax.Array  # (D,) int32
+
+    n_tris: int = static_field(default=0)  # real (unpadded) counts
+    n_spheres: int = static_field(default=0)
+    n_disks: int = static_field(default=0)
+
+
+@pytree_dataclass
+class Hit:
+    """Per-lane closest-hit record."""
+
+    t: jax.Array
+    kind: jax.Array  # int32, KIND_*
+    prim: jax.Array  # int32 index within the kind's table
+    shape: jax.Array  # int32 shape id (INVALID when miss)
+    u: jax.Array  # tri: barycentric u; sphere/disk: local param
+    v: jax.Array
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.kind > KIND_NONE
+
+
+@pytree_dataclass
+class Interaction:
+    """Shading-point data (reference ``Intersection``, shape.h)."""
+
+    p: jax.Array  # (..., 3) world position
+    t: jax.Array
+    ng: jax.Array  # geometric normal
+    ns: jax.Array  # shading normal
+    ss: jax.Array  # shading tangent s
+    ts_: jax.Array  # shading tangent t
+    uv: jax.Array  # (..., 2)
+    wi_local: jax.Array  # incident dir in shading frame (toward viewer)
+    shape: jax.Array  # int32
+    valid: jax.Array  # bool
+
+    def to_local(self, v):
+        return m.Frame.to_local((self.ss, self.ts_, self.ns), v)
+
+    def to_world(self, v):
+        return m.Frame.to_world((self.ss, self.ts_, self.ns), v)
+
+
+def make_geometry(
+    tri_data: dict | None,
+    spheres: dict | None,
+    disks: dict | None,
+) -> Geometry:
+    """Build a Geometry from host numpy dicts (padding each kind to >=1)."""
+
+    def pad_tri():
+        far = 3.0e37
+        z = np.zeros((1, 3), np.float32)
+        return dict(
+            p0=z + far, e1=z, e2=z, n0=z, n1=z, n2=z,
+            uv0=np.zeros((1, 2), np.float32), uv1=np.zeros((1, 2), np.float32),
+            uv2=np.zeros((1, 2), np.float32),
+            shape=np.full(1, INVALID, np.int32),
+        )
+
+    if tri_data is None or len(tri_data.get("p0", ())) == 0:
+        tri_data = pad_tri()
+        n_tris = 0
+    else:
+        n_tris = len(tri_data["p0"])
+
+    if spheres is None or len(spheres.get("center", ())) == 0:
+        spheres = dict(
+            center=np.full((1, 3), 3.0e37, np.float32),
+            radius=np.zeros(1, np.float32),
+            shape=np.full(1, INVALID, np.int32),
+        )
+        n_spheres = 0
+    else:
+        n_spheres = len(spheres["center"])
+
+    if disks is None or len(disks.get("center", ())) == 0:
+        disks = dict(
+            center=np.full((1, 3), 3.0e37, np.float32),
+            n=np.tile(np.array([[0, 0, 1]], np.float32), (1, 1)),
+            s=np.tile(np.array([[1, 0, 0]], np.float32), (1, 1)),
+            t=np.tile(np.array([[0, 1, 0]], np.float32), (1, 1)),
+            radius=np.zeros(1, np.float32),
+            shape=np.full(1, INVALID, np.int32),
+        )
+        n_disks = 0
+    else:
+        n_disks = len(disks["center"])
+
+    f = lambda x: jnp.asarray(x, Float)
+    i = lambda x: jnp.asarray(x, Int)
+    return Geometry(
+        tri_p0=f(tri_data["p0"]), tri_e1=f(tri_data["e1"]), tri_e2=f(tri_data["e2"]),
+        tri_n0=f(tri_data["n0"]), tri_n1=f(tri_data["n1"]), tri_n2=f(tri_data["n2"]),
+        tri_uv0=f(tri_data["uv0"]), tri_uv1=f(tri_data["uv1"]), tri_uv2=f(tri_data["uv2"]),
+        tri_shape=i(tri_data["shape"]),
+        sph_center=f(spheres["center"]), sph_radius=f(spheres["radius"]),
+        sph_shape=i(spheres["shape"]),
+        disk_center=f(disks["center"]), disk_n=f(disks["n"]), disk_s=f(disks["s"]),
+        disk_t=f(disks["t"]), disk_radius=f(disks["radius"]),
+        disk_shape=i(disks["shape"]),
+        n_tris=n_tris, n_spheres=n_spheres, n_disks=n_disks,
+    )
+
+
+def compute_interaction(geom: Geometry, o: jax.Array, d: jax.Array, hit: Hit) -> Interaction:
+    """Expand a Hit into a full shading-point record (vectorized gather)."""
+    pr = hit.prim
+    is_tri = hit.kind == KIND_TRI
+    is_sph = hit.kind == KIND_SPHERE
+    is_disk = hit.kind == KIND_DISK
+    tp = jnp.where(is_tri, pr, 0)
+    sp = jnp.where(is_sph, pr, 0)
+    dp = jnp.where(is_disk, pr, 0)
+
+    p = o + d * hit.t[..., None]
+
+    # --- triangle attributes ---
+    e1 = geom.tri_e1[tp]
+    e2 = geom.tri_e2[tp]
+    ng_tri = m.normalize(m.cross(e1, e2))
+    w = 1.0 - hit.u - hit.v
+    ns_tri = m.normalize(
+        geom.tri_n0[tp] * w[..., None]
+        + geom.tri_n1[tp] * hit.u[..., None]
+        + geom.tri_n2[tp] * hit.v[..., None]
+    )
+    uv_tri = (
+        geom.tri_uv0[tp] * w[..., None]
+        + geom.tri_uv1[tp] * hit.u[..., None]
+        + geom.tri_uv2[tp] * hit.v[..., None]
+    )
+
+    # --- sphere attributes ---
+    ns_sph = m.normalize(p - geom.sph_center[sp])
+    theta, phi = m.spherical_coordinates(ns_sph)
+    uv_sph = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+
+    # --- disk attributes ---
+    ns_disk = geom.disk_n[dp]
+    local = p - geom.disk_center[dp]
+    lx = m.dot(local, geom.disk_s[dp])
+    ly = m.dot(local, geom.disk_t[dp])
+    r_ = jnp.sqrt(lx * lx + ly * ly) / jnp.maximum(geom.disk_radius[dp], 1e-20)
+    phi_d = jnp.arctan2(ly, lx)
+    phi_d = jnp.where(phi_d < 0, phi_d + 2 * jnp.pi, phi_d)
+    uv_disk = jnp.stack([r_, phi_d / (2 * jnp.pi)], axis=-1)
+
+    ng = jnp.where(
+        is_tri[..., None], ng_tri, jnp.where(is_sph[..., None], ns_sph, ns_disk)
+    )
+    ns = jnp.where(
+        is_tri[..., None], ns_tri, jnp.where(is_sph[..., None], ns_sph, ns_disk)
+    )
+    uv = jnp.where(
+        is_tri[..., None], uv_tri, jnp.where(is_sph[..., None], uv_sph, uv_disk)
+    )
+
+    ss, ts_ = m.coordinate_system(ns)
+    frame = (ss, ts_, ns)
+    wi_local = m.Frame.to_local(frame, -d)
+    return Interaction(
+        p=p, t=hit.t, ng=ng, ns=ns, ss=ss, ts_=ts_, uv=uv,
+        wi_local=wi_local,
+        shape=jnp.where(hit.valid, hit.shape, INVALID),
+        valid=hit.valid,
+    )
