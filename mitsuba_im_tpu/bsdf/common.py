@@ -1,0 +1,178 @@
+"""BSDF parameter tables and per-lane resolution.
+
+The reference's BSDF plugin hierarchy (``/root/reference/src/bsdfs/``,
+``include/mitsuba/render/bsdf.h``) becomes a *table of typed parameter
+records*: each scene BSDF instance is one row; wavefront lanes gather their
+row (+ texture lookups) into a ``LaneParams`` pytree, and evaluation
+dispatches on the integer type code over only the types present in the
+scene (``used_types`` is static, so XLA compiles just those branches).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, static_field, Float, Int, INVALID
+from ..texture.texture import TextureTable, eval_texture
+from .microfacet import DIST_BECKMANN, DIST_GGX, DIST_PHONG
+
+# Type codes (one per reference bsdf plugin; SURVEY.md §2.5)
+DIFFUSE = 0
+ROUGHDIFFUSE = 1
+CONDUCTOR = 2
+ROUGHCONDUCTOR = 3
+DIELECTRIC = 4
+THINDIELECTRIC = 5
+ROUGHDIELECTRIC = 6
+PLASTIC = 7
+ROUGHPLASTIC = 8
+PHONG = 9
+WARD = 10
+NULL_BSDF = 11
+DIFFTRANS = 12
+COATING = 13
+MASK = 14
+BLEND = 15
+BUMPMAP_WRAP = 16  # handled at resolve level
+
+TYPE_NAMES = {
+    DIFFUSE: "diffuse", ROUGHDIFFUSE: "roughdiffuse", CONDUCTOR: "conductor",
+    ROUGHCONDUCTOR: "roughconductor", DIELECTRIC: "dielectric",
+    THINDIELECTRIC: "thindielectric", ROUGHDIELECTRIC: "roughdielectric",
+    PLASTIC: "plastic", ROUGHPLASTIC: "roughplastic", PHONG: "phong",
+    WARD: "ward", NULL_BSDF: "null", DIFFTRANS: "difftrans",
+    MASK: "mask", BLEND: "blendbsdf",
+}
+
+# Delta-only types (no smooth component -> skip NEE at these vertices)
+DELTA_TYPES = (CONDUCTOR, DIELECTRIC, THINDIELECTRIC, NULL_BSDF)
+
+FLAG_TWOSIDED = 1
+
+
+@pytree_dataclass
+class BSDFTable:
+    type: jax.Array  # (B,) int32
+    dist: jax.Array  # (B,) int32 microfacet distribution
+    refl: jax.Array  # (B, 3) diffuse reflectance
+    refl_tex: jax.Array  # (B,) int32 texture id or INVALID
+    spec: jax.Array  # (B, 3) specular reflectance
+    spec_tex: jax.Array
+    trans: jax.Array  # (B, 3) transmittance
+    trans_tex: jax.Array
+    eta: jax.Array  # (B, 3) conductor ior (rgb)
+    k: jax.Array  # (B, 3) conductor absorption
+    eta_s: jax.Array  # (B,) dielectric relative ior (int/ext)
+    alpha_u: jax.Array  # (B,) roughness (or phong exponent encoding)
+    alpha_v: jax.Array
+    alpha_tex: jax.Array  # (B,) int32
+    exponent: jax.Array  # (B,) phong/ward exponent
+    opacity: jax.Array  # (B, 3) mask opacity
+    opacity_tex: jax.Array
+    flags: jax.Array  # (B,) int32 (twosided etc.)
+    nested: jax.Array  # (B,) int32 nested bsdf id (mask/blend)
+    nested2: jax.Array  # (B,) int32 second nested (blend)
+    weight_tex: jax.Array  # (B,) int32 blend weight texture
+    used_types: tuple = static_field(default=(DIFFUSE,))
+
+    @property
+    def n(self):
+        return self.type.shape[0]
+
+
+def default_record() -> dict:
+    return dict(
+        type=DIFFUSE, dist=DIST_BECKMANN,
+        refl=np.full(3, 0.5), refl_tex=INVALID,
+        spec=np.ones(3), spec_tex=INVALID,
+        trans=np.ones(3), trans_tex=INVALID,
+        eta=np.zeros(3), k=np.ones(3), eta_s=1.5046,
+        alpha_u=0.1, alpha_v=0.1, alpha_tex=INVALID,
+        exponent=30.0,
+        opacity=np.full(3, 0.5), opacity_tex=INVALID,
+        flags=0, nested=INVALID, nested2=INVALID, weight_tex=INVALID,
+    )
+
+
+def build_table(records: list[dict]) -> BSDFTable:
+    recs = records or [default_record()]
+    g = lambda k, dt: jnp.asarray(np.stack([np.asarray(r[k]) for r in recs]), dt)
+    return BSDFTable(
+        type=g("type", Int), dist=g("dist", Int),
+        refl=g("refl", Float), refl_tex=g("refl_tex", Int),
+        spec=g("spec", Float), spec_tex=g("spec_tex", Int),
+        trans=g("trans", Float), trans_tex=g("trans_tex", Int),
+        eta=g("eta", Float), k=g("k", Float), eta_s=g("eta_s", Float),
+        alpha_u=g("alpha_u", Float), alpha_v=g("alpha_v", Float),
+        alpha_tex=g("alpha_tex", Int), exponent=g("exponent", Float),
+        opacity=g("opacity", Float), opacity_tex=g("opacity_tex", Int),
+        flags=g("flags", Int), nested=g("nested", Int), nested2=g("nested2", Int),
+        weight_tex=g("weight_tex", Int),
+        used_types=tuple(sorted({int(r["type"]) for r in recs})),
+    )
+
+
+@pytree_dataclass
+class LaneParams:
+    """Per-lane resolved BSDF parameters (textures already applied)."""
+
+    type: jax.Array  # (...,) int32
+    dist: jax.Array
+    refl: jax.Array  # (..., 3)
+    spec: jax.Array
+    trans: jax.Array
+    eta: jax.Array  # (..., 3)
+    k: jax.Array
+    eta_s: jax.Array  # (...,)
+    alpha_u: jax.Array
+    alpha_v: jax.Array
+    exponent: jax.Array
+    opacity: jax.Array  # (...,) scalar opacity (mask)
+    flags: jax.Array
+    used_types: tuple = static_field(default=(DIFFUSE,))
+
+
+def resolve(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
+            uv: jax.Array) -> LaneParams:
+    """Gather per-lane parameters; resolves MASK/twosided wrappers one level
+    (a MASK lane carries its nested bsdf's params + the opacity value)."""
+    bid = jnp.where(bsdf_id == INVALID, 0, bsdf_id)
+
+    # one level of nested unwrap for mask: lanes of type MASK adopt nested id
+    is_mask = table.type[bid] == MASK
+    opacity = eval_texture(tex, table.opacity_tex[bid], uv, table.opacity[bid])
+    op_scalar = jnp.clip(jnp.mean(opacity, axis=-1), 0.0, 1.0)
+    op_scalar = jnp.where(is_mask, op_scalar, 1.0)
+    bid = jnp.where(is_mask & (table.nested[bid] != INVALID), table.nested[bid], bid)
+
+    alpha_rgb = eval_texture(tex, table.alpha_tex[bid], uv, None)
+    alpha_from_tex = jnp.mean(alpha_rgb, axis=-1)
+    has_atex = table.alpha_tex[bid] != INVALID
+    au = jnp.where(has_atex, alpha_from_tex, table.alpha_u[bid])
+    av = jnp.where(has_atex, alpha_from_tex, table.alpha_v[bid])
+
+    return LaneParams(
+        type=table.type[bid],
+        dist=table.dist[bid],
+        refl=eval_texture(tex, table.refl_tex[bid], uv, table.refl[bid]),
+        spec=eval_texture(tex, table.spec_tex[bid], uv, table.spec[bid]),
+        trans=eval_texture(tex, table.trans_tex[bid], uv, table.trans[bid]),
+        eta=table.eta[bid],
+        k=table.k[bid],
+        eta_s=table.eta_s[bid],
+        alpha_u=jnp.maximum(au, 1e-4),
+        alpha_v=jnp.maximum(av, 1e-4),
+        exponent=table.exponent[bid],
+        opacity=op_scalar,
+        flags=table.flags[bid],
+        used_types=table.used_types,
+    )
+
+
+def lane_is_delta(p: LaneParams) -> jax.Array:
+    """Lanes whose BSDF has no smooth component (skip NEE there)."""
+    out = jnp.zeros(p.type.shape, bool)
+    for t in DELTA_TYPES:
+        out = out | (p.type == t)
+    return out
