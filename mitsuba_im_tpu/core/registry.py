@@ -47,8 +47,11 @@ def register(category: str, name: str, schema=None):
     return deco
 
 
-def create(category: str, props: Properties):
-    """Instantiate plugin ``props.plugin_name`` of the given category."""
+def create(category: str, props: Properties, ctx=None):
+    """Instantiate plugin ``props.plugin_name`` of the given category.
+
+    ``ctx`` is the SceneBuilder during scene loading (factories register
+    textures/bsdfs/geometry through it)."""
     _ensure_loaded()
     cat = _REGISTRY.get(category, {})
     name = props.plugin_name
@@ -56,7 +59,7 @@ def create(category: str, props: Properties):
         raise ValueError(
             f"Unknown {category} plugin '{name}'. Available: {sorted(cat)}"
         )
-    return cat[name](props)
+    return cat[name](props, ctx)
 
 
 def available_plugins(category: str) -> list[str]:
@@ -71,7 +74,7 @@ def extract_parameters(category: str, name: str) -> dict[str, Any]:
     _ensure_loaded()
     props = Properties(name).record_queries_and_defaults(True)
     try:
-        create(category, props)
+        create(category, props, None)
     except KeyError:
         pass  # required params missing is fine; queries were still recorded
     except Exception:

@@ -1,0 +1,445 @@
+"""Emitter tables + next-event-estimation sampling.
+
+Capability parity with ``/root/reference/src/emitters/`` (area, point, spot,
+directional, collimated, constant, envmap w/ 2D-CDF importance sampling) and
+the scene-level direct sampling API (``src/librender/scene.cpp:860-884``
+``sampleEmitterDirect`` / ``pdfEmitterDirect``).
+
+Design notes (TPU-first):
+- emitter selection is a Distribution1D over per-emitter weights (uniform by
+  default, like the reference's equal sampling weights);
+- area emitters sample *uniformly by area* over their shape (triangle CDF /
+  analytic sphere/disk) and convert to solid angle.  The reference uses
+  cone sampling for spheres — same estimator, different variance profile;
+- the environment map importance-samples a luminance x sin(theta) 2D CDF
+  (reference ``envmap.cpp``), lat-long with Y-up convention
+  (u = atan2(x, -z)/2pi, v = acos(y)/pi).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, static_field, Float, Int, INVALID
+from ..core import math as m
+from ..core import warp
+from ..core.distribution import Distribution1D, Distribution2D
+from ..core.spectrum import luminance
+from ..scene.geometry import Geometry
+
+EM_AREA = 0
+EM_POINT = 1
+EM_SPOT = 2
+EM_DIRECTIONAL = 3
+EM_CONSTANT = 4
+EM_ENVMAP = 5
+EM_COLLIMATED = 6
+
+# area-emitter backing geometry kinds
+AK_TRIMESH = 0
+AK_SPHERE = 1
+AK_DISK = 2
+
+
+@pytree_dataclass
+class EmitterTable:
+    type: jax.Array  # (E,)
+    radiance: jax.Array  # (E, 3) area/constant/envmap-scale radiance
+    intensity: jax.Array  # (E, 3) point/spot/directional irradiance
+    position: jax.Array  # (E, 3)
+    direction: jax.Array  # (E, 3) unit
+    cos_cutoff: jax.Array  # (E,) spot total angle cos
+    cos_falloff: jax.Array  # (E,) spot falloff-begin cos
+    shape: jax.Array  # (E,) area: shape id
+    area_kind: jax.Array  # (E,) AK_*
+    prim: jax.Array  # (E,) sphere/disk prim index for analytic area emitters
+    total_area: jax.Array  # (E,)
+    tri_cdf: jax.Array  # (E, Tm+1) per-emitter triangle area CDF
+    tri_idx: jax.Array  # (E, Tm) global triangle ids
+    select: Distribution1D
+    env_rows: jax.Array  # (H, W, 3) envmap texels (or (1,1,3))
+    env_dist: Distribution2D
+    env_to_world: jax.Array  # (3, 3)
+    env_to_local: jax.Array  # (3, 3)
+    bsphere_center: jax.Array  # (3,)
+    bsphere_radius: jax.Array  # ()
+    env_index: int = static_field(default=-1)  # static: which row is envmap
+    n_emitters: int = static_field(default=0)
+    used_types: tuple = static_field(default=())
+
+
+class DirectSample(NamedTuple):
+    d: jax.Array  # (..., 3) unit direction ref -> emitter
+    dist: jax.Array  # (...,) distance to the sampled point
+    value: jax.Array  # (..., 3) emitted radiance (delta: intensity/r^2)
+    pdf: jax.Array  # (...,) solid-angle pdf incl. selection (delta: discrete)
+    delta: jax.Array  # (...,) bool
+    n: jax.Array  # (..., 3) emitter surface normal at sampled point
+    emitter: jax.Array  # (...,) int32
+
+
+def build_emitters(records: list[dict], geom_host: dict, bsphere) -> EmitterTable:
+    """records: list of per-emitter host dicts; geom_host holds numpy tri
+    arrays (p0/e1/e2/shape) for area-CDF construction."""
+    E = max(len(records), 1)
+    recs = records or [dict(type=EM_POINT, intensity=np.zeros(3), position=np.zeros(3))]
+
+    def get(r, k, d):
+        return np.asarray(r.get(k, d), np.float64)
+
+    tri_shape = geom_host.get("shape", np.zeros(0, np.int32))
+    tri_p0 = geom_host.get("p0", np.zeros((0, 3)))
+    tri_e1 = geom_host.get("e1", np.zeros((0, 3)))
+    tri_e2 = geom_host.get("e2", np.zeros((0, 3)))
+    areas_all = 0.5 * np.linalg.norm(np.cross(tri_e1, tri_e2), axis=-1) if len(tri_p0) else np.zeros(0)
+
+    tmax = 1
+    per_em_tris = []
+    for r in recs:
+        if r.get("type") == EM_AREA and r.get("area_kind", AK_TRIMESH) == AK_TRIMESH:
+            ids = np.nonzero(tri_shape == r["shape"])[0]
+            per_em_tris.append(ids)
+            tmax = max(tmax, len(ids))
+        else:
+            per_em_tris.append(np.zeros(0, np.int64))
+
+    tri_cdf = np.zeros((E, tmax + 1), np.float32)
+    tri_idx = np.zeros((E, tmax), np.int32)
+    total_area = np.zeros(E, np.float32)
+    for i, (r, ids) in enumerate(zip(recs, per_em_tris)):
+        if r.get("type") == EM_AREA:
+            kind = r.get("area_kind", AK_TRIMESH)
+            if kind == AK_TRIMESH and len(ids):
+                a = areas_all[ids]
+                total_area[i] = a.sum()
+                cdf = np.concatenate([[0.0], np.cumsum(a / max(a.sum(), 1e-30))])
+                cdf[-1] = 1.0
+                tri_cdf[i, : len(cdf)] = cdf
+                tri_cdf[i, len(cdf):] = 1.0
+                tri_idx[i, : len(ids)] = ids
+            else:
+                total_area[i] = r.get("surface_area", 1.0)
+
+    env_index = -1
+    env_pix = np.zeros((1, 1, 3), np.float32)
+    env_rot = np.eye(3)
+    for i, r in enumerate(recs):
+        if r.get("type") == EM_ENVMAP:
+            env_index = i
+            env_pix = np.asarray(r["pixels"], np.float32)
+            env_rot = np.asarray(r.get("to_world_rot", np.eye(3)), np.float64)
+        elif r.get("type") == EM_CONSTANT and env_index < 0:
+            env_index = i
+
+    # 2D sampling weights: luminance * sin(theta)
+    H, W = env_pix.shape[:2]
+    lum = (
+        env_pix[..., 0] * 0.212671
+        + env_pix[..., 1] * 0.715160
+        + env_pix[..., 2] * 0.072169
+    )
+    sin_t = np.sin((np.arange(H) + 0.5) / H * np.pi)[:, None]
+    env_dist = Distribution2D.from_weights(jnp.asarray(lum * sin_t + 1e-12, Float))
+
+    g = lambda k, d, dt: jnp.asarray(
+        np.stack([get(r, k, d) for r in recs]), dt
+    )
+    center, radius = bsphere
+    return EmitterTable(
+        type=g("type", EM_POINT, Int),
+        radiance=g("radiance", np.zeros(3), Float),
+        intensity=g("intensity", np.zeros(3), Float),
+        position=g("position", np.zeros(3), Float),
+        direction=g("direction", np.array([0, 0, 1.0]), Float),
+        cos_cutoff=g("cos_cutoff", -1.0, Float),
+        cos_falloff=g("cos_falloff", -1.0, Float),
+        shape=g("shape", INVALID, Int),
+        area_kind=g("area_kind", AK_TRIMESH, Int),
+        prim=g("prim", 0, Int),
+        total_area=jnp.asarray(total_area, Float),
+        tri_cdf=jnp.asarray(tri_cdf, Float),
+        tri_idx=jnp.asarray(tri_idx, Int),
+        select=Distribution1D.from_weights(
+            jnp.asarray([r.get("weight", 1.0) for r in recs], Float)
+        ),
+        env_rows=jnp.asarray(env_pix, Float),
+        env_dist=env_dist,
+        env_to_world=jnp.asarray(env_rot, Float),
+        env_to_local=jnp.asarray(env_rot.T, Float),
+        bsphere_center=jnp.asarray(center, Float),
+        bsphere_radius=jnp.asarray(radius, Float),
+        env_index=env_index,
+        n_emitters=len(records),
+        used_types=tuple(sorted({int(r["type"]) for r in recs})),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Envmap helpers
+# ---------------------------------------------------------------------------
+
+def _env_uv_from_dir(em: EmitterTable, d_world):
+    d = d_world @ em.env_to_local.T
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * (0.5 / jnp.pi)
+    u = jnp.where(u < 0, u + 1.0, u)
+    v = m.safe_acos(d[..., 1]) / jnp.pi
+    return jnp.stack([u, v], axis=-1)
+
+
+def _env_dir_from_uv(em: EmitterTable, uv):
+    phi = uv[..., 0] * 2.0 * jnp.pi
+    theta = uv[..., 1] * jnp.pi
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    d_local = jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], axis=-1)
+    return d_local @ em.env_to_world.T
+
+
+def _env_lookup(em: EmitterTable, uv, scale):
+    H, W = em.env_rows.shape[:2]
+    fx = uv[..., 0] * W - 0.5
+    fy = uv[..., 1] * H - 0.5
+    x0 = jnp.floor(fx).astype(Int)
+    y0 = jnp.floor(fy).astype(Int)
+    dx = fx - x0
+    dy = fy - y0
+
+    def texel(x, y):
+        x = jnp.mod(x, W)
+        y = jnp.clip(y, 0, H - 1)
+        return em.env_rows[y, x]
+
+    return scale * (
+        texel(x0, y0) * ((1 - dx) * (1 - dy))[..., None]
+        + texel(x0 + 1, y0) * (dx * (1 - dy))[..., None]
+        + texel(x0, y0 + 1) * ((1 - dx) * dy)[..., None]
+        + texel(x0 + 1, y0 + 1) * (dx * dy)[..., None]
+    )
+
+
+def eval_environment(em: EmitterTable, d_world) -> jax.Array:
+    """Radiance from the environment for escaped rays
+    (``scene.h:910`` evalEnvironment)."""
+    if em.env_index < 0 or em.n_emitters == 0:
+        return jnp.zeros(d_world.shape[:-1] + (3,), Float)
+    i = em.env_index
+    is_const = em.type[i] == EM_CONSTANT
+    uv = _env_uv_from_dir(em, d_world)
+    envval = _env_lookup(em, uv, em.radiance[i])
+    return jnp.where(is_const, em.radiance[i], envval)
+
+
+def env_pdf_sa(em: EmitterTable, d_world) -> jax.Array:
+    """Solid-angle pdf of sample_direct drawing direction d toward the env."""
+    if em.env_index < 0:
+        return jnp.zeros(d_world.shape[:-1], Float)
+    i = em.env_index
+    is_const = em.type[i] == EM_CONSTANT
+    uv = _env_uv_from_dir(em, d_world)
+    pdf_uv = em.env_dist.pdf_continuous(uv)
+    theta = uv[..., 1] * jnp.pi
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf_env = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return jnp.where(is_const, warp.INV_FOURPI, pdf_env)
+
+
+# ---------------------------------------------------------------------------
+# Direct sampling (NEE)
+# ---------------------------------------------------------------------------
+
+def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
+                  u_sel: jax.Array, u2: jax.Array) -> DirectSample:
+    """Sample a direction toward one emitter from ref_p.
+
+    Returns value/pdf such that the unbiased contribution is
+    ``value * bsdf_eval / pdf`` (with MIS vs bsdf_pdf for non-delta).
+    """
+    shape = ref_p.shape[:-1]
+    if em.n_emitters == 0:
+        z = jnp.zeros(shape, Float)
+        return DirectSample(
+            d=jnp.zeros(shape + (3,), Float), dist=z,
+            value=jnp.zeros(shape + (3,), Float), pdf=z,
+            delta=jnp.zeros(shape, bool), n=jnp.zeros(shape + (3,), Float),
+            emitter=jnp.full(shape, INVALID, Int),
+        )
+
+    eid, sel_pmf = em.select.sample(u_sel)
+    etype = em.type[eid]
+
+    d = jnp.zeros(shape + (3,), Float)
+    dist = jnp.full(shape, 1.0, Float)
+    value = jnp.zeros(shape + (3,), Float)
+    pdf = jnp.zeros(shape, Float)
+    delta = jnp.zeros(shape, bool)
+    n_out = jnp.zeros(shape + (3,), Float)
+
+    far = 2.0 * em.bsphere_radius + 1.0
+
+    for t in em.used_types:
+        selm = etype == t
+        if t == EM_AREA:
+            p_s, n_s, pos_pdf_a = _sample_area_position(em, geom, eid, u2)
+            dvec = p_s - ref_p
+            r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
+            r = jnp.sqrt(r2)
+            du = dvec / r[..., None]
+            cos_emit = m.dot(n_s, -du)
+            front = cos_emit > 1e-6
+            pdf_sa = pos_pdf_a * r2 / jnp.maximum(cos_emit, 1e-8)
+            val = jnp.where(front[..., None], em.radiance[eid], 0.0)
+            d, dist, value, pdf, delta, n_out = _sel6(
+                selm, (du, r, val, jnp.where(front, pdf_sa, 0.0),
+                       jnp.zeros(shape, bool), n_s),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t in (EM_POINT, EM_SPOT):
+            dvec = em.position[eid] - ref_p
+            r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
+            r = jnp.sqrt(r2)
+            du = dvec / r[..., None]
+            val = em.intensity[eid] / r2[..., None]
+            if t == EM_SPOT:
+                cd = m.dot(-du, em.direction[eid])
+                cc = em.cos_cutoff[eid]
+                cf = em.cos_falloff[eid]
+                fall = jnp.clip((cd - cc) / jnp.maximum(cf - cc, 1e-6), 0.0, 1.0)
+                val = val * jnp.where(cd > cc, fall, 0.0)[..., None]
+            d, dist, value, pdf, delta, n_out = _sel6(
+                selm, (du, r, val, jnp.ones(shape), jnp.ones(shape, bool), -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t == EM_DIRECTIONAL:
+            du = -em.direction[eid]
+            du = jnp.broadcast_to(du, shape + (3,))
+            val = jnp.broadcast_to(em.intensity[eid], shape + (3,))
+            d, dist, value, pdf, delta, n_out = _sel6(
+                selm,
+                (du, jnp.full(shape, far), val, jnp.ones(shape),
+                 jnp.ones(shape, bool), -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t in (EM_CONSTANT, EM_ENVMAP):
+            if t == EM_CONSTANT:
+                du = warp.square_to_uniform_sphere(u2)
+                val = jnp.broadcast_to(em.radiance[eid], shape + (3,))
+                pdf_sa = jnp.full(shape, warp.INV_FOURPI, Float)
+            else:
+                uv, pdf_uv = em.env_dist.sample_continuous(u2)
+                du = _env_dir_from_uv(em, uv)
+                theta = uv[..., 1] * jnp.pi
+                sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+                pdf_sa = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+                val = _env_lookup(em, uv, em.radiance[eid])
+            d, dist, value, pdf, delta, n_out = _sel6(
+                selm,
+                (du, jnp.full(shape, far), val, pdf_sa,
+                 jnp.zeros(shape, bool), -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t == EM_COLLIMATED:
+            # measure-zero beam: direct sampling hits it with prob 0
+            continue
+
+    return DirectSample(
+        d=d, dist=dist, value=value, pdf=pdf * sel_pmf, delta=delta, n=n_out,
+        emitter=eid.astype(Int),
+    )
+
+
+def _sel6(mask, new, old):
+    out = []
+    for nv, ov in zip(new, old):
+        mm = mask[..., None] if nv.ndim > mask.ndim else mask
+        out.append(jnp.where(mm, nv, ov))
+    return tuple(out)
+
+
+def _sample_area_position(em: EmitterTable, geom: Geometry, eid, u2):
+    """Uniform-by-area point on the emitter's shape; returns (p, n, pdf_area)."""
+    kind = em.area_kind[eid]
+
+    # triangle-mesh case
+    Tm = em.tri_idx.shape[1]
+    cdf = em.tri_cdf[eid]  # (..., Tm+1)
+    flat_cdf = cdf.reshape(-1, Tm + 1)
+    flat_u = u2[..., 0].reshape(-1)
+    import jax as _jax
+
+    li = _jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
+        flat_cdf, flat_u
+    ).reshape(u2[..., 0].shape) - 1
+    li = jnp.clip(li, 0, Tm - 1)
+    # rescale u for reuse inside the chosen triangle
+    lo = jnp.take_along_axis(cdf, li[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(cdf, (li + 1)[..., None], axis=-1)[..., 0]
+    u0r = jnp.clip((u2[..., 0] - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    tri = em.tri_idx[eid, li]
+    bary = warp.square_to_uniform_triangle(jnp.stack([u0r, u2[..., 1]], axis=-1))
+    p_tri = (
+        geom.tri_p0[tri]
+        + geom.tri_e1[tri] * bary[..., 0:1]
+        + geom.tri_e2[tri] * bary[..., 1:2]
+    )
+    n_tri = m.normalize(m.cross(geom.tri_e1[tri], geom.tri_e2[tri]))
+
+    # sphere case
+    prim = em.prim[eid]
+    dir_s = warp.square_to_uniform_sphere(u2)
+    p_sph = geom.sph_center[prim] + dir_s * geom.sph_radius[prim][..., None]
+    n_sph = dir_s
+
+    # disk case
+    pd = warp.square_to_uniform_disk_concentric(u2)
+    p_disk = (
+        geom.disk_center[prim]
+        + geom.disk_s[prim] * (pd[..., 0] * geom.disk_radius[prim])[..., None]
+        + geom.disk_t[prim] * (pd[..., 1] * geom.disk_radius[prim])[..., None]
+    )
+    n_disk = geom.disk_n[prim]
+
+    p = jnp.where(
+        (kind == AK_TRIMESH)[..., None], p_tri,
+        jnp.where((kind == AK_SPHERE)[..., None], p_sph, p_disk),
+    )
+    n = jnp.where(
+        (kind == AK_TRIMESH)[..., None], n_tri,
+        jnp.where((kind == AK_SPHERE)[..., None], n_sph, n_disk),
+    )
+    pdf_area = 1.0 / jnp.maximum(em.total_area[eid], 1e-12)
+    return p, n, pdf_area
+
+
+def pdf_direct_area(em: EmitterTable, emitter_id, ref_p, p_emit, n_emit) -> jax.Array:
+    """Solid-angle pdf that sample_direct would have produced the direction
+    hitting an *area* emitter at p_emit (``Scene::pdfEmitterDirect``)."""
+    if em.n_emitters == 0:
+        return jnp.zeros(ref_p.shape[:-1], Float)
+    eid = jnp.where(emitter_id == INVALID, 0, emitter_id)
+    sel_pmf = em.select.pmf[eid]
+    dvec = p_emit - ref_p
+    r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
+    du = dvec * jax.lax.rsqrt(r2)[..., None]
+    cos_e = m.dot(n_emit, -du)
+    pdf_sa = (1.0 / jnp.maximum(em.total_area[eid], 1e-12)) * r2 / jnp.maximum(cos_e, 1e-8)
+    valid = (emitter_id != INVALID) & (em.type[eid] == EM_AREA) & (cos_e > 1e-6)
+    return jnp.where(valid, pdf_sa * sel_pmf, 0.0)
+
+
+def pdf_direct_env(em: EmitterTable, d_world) -> jax.Array:
+    """Selection-weighted solid-angle pdf for env/constant directions."""
+    if em.env_index < 0:
+        return jnp.zeros(d_world.shape[:-1], Float)
+    return env_pdf_sa(em, d_world) * em.select.pmf[em.env_index]
+
+
+def emitted_radiance(em: EmitterTable, shape_emitter_id, n_surf, wo_world) -> jax.Array:
+    """Le(x, wo) for a surface hit on an area emitter (front side only)."""
+    if em.n_emitters == 0:
+        return jnp.zeros(wo_world.shape[:-1] + (3,), Float)
+    eid = jnp.where(shape_emitter_id == INVALID, 0, shape_emitter_id)
+    front = m.dot(n_surf, wo_world) > 0
+    valid = (shape_emitter_id != INVALID) & (em.type[eid] == EM_AREA) & front
+    return jnp.where(valid[..., None], em.radiance[eid], 0.0)

@@ -1,0 +1,200 @@
+"""Bitmap load/save dispatch over EXR/PNG/JPEG(read-only stub)/RGBE/PFM/PPM/
+NPY — the capability surface of the reference Bitmap class
+(``/root/reference/include/mitsuba/core/bitmap.h:182-261``)."""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from .exr import read_exr, write_exr
+from .png import read_png, write_png
+from ..core.spectrum import srgb_to_linear as _srgb_to_linear_np
+
+
+def load(path: str, gamma_correct: bool = True) -> np.ndarray:
+    """Load an image as (H, W, C) float32 *linear* RGB (LDR formats are
+    sRGB-delinearized when gamma_correct)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        return read_exr(path)[0]
+    if ext == ".png":
+        img = read_png(path)
+        return _delinearize(img, gamma_correct)
+    if ext in (".jpg", ".jpeg"):
+        img = _read_jpeg(path)
+        return _delinearize(img, gamma_correct)
+    if ext == ".hdr" or ext == ".rgbe":
+        return read_rgbe(path)
+    if ext == ".pfm":
+        return read_pfm(path)
+    if ext in (".ppm", ".pgm"):
+        return _delinearize(read_ppm(path), gamma_correct)
+    if ext == ".npy":
+        return np.load(path).astype(np.float32)
+    if ext in (".tga", ".bmp"):
+        return _delinearize(_read_simple(path, ext), gamma_correct)
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def save(path: str, img: np.ndarray, metadata: dict | None = None) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    img = np.asarray(img, np.float32)
+    if ext == ".exr":
+        write_exr(path, img, metadata=metadata)
+    elif ext == ".png":
+        write_png(path, img)
+    elif ext in (".hdr", ".rgbe"):
+        write_rgbe(path, img)
+    elif ext == ".pfm":
+        write_pfm(path, img)
+    elif ext == ".ppm":
+        write_ppm(path, img)
+    elif ext == ".npy":
+        np.save(path, img)
+    else:
+        raise ValueError(f"unsupported output format: {path}")
+
+
+def _delinearize(img, gamma_correct):
+    if not gamma_correct:
+        return img.astype(np.float32)
+    out = img.astype(np.float32).copy()
+    c = out[..., :3]
+    out[..., :3] = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    return out
+
+
+# -- RGBE (.hdr) ------------------------------------------------------------
+
+def read_rgbe(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if not (raw.startswith(b"#?RADIANCE") or raw.startswith(b"#?RGBE")):
+        raise ValueError(f"{path}: not an RGBE file")
+    pos = raw.index(b"\n\n") + 2
+    eol = raw.index(b"\n", pos)
+    dims = raw[pos:eol].split()
+    if dims[0] == b"-Y":
+        h, w = int(dims[1]), int(dims[3])
+    else:
+        raise NotImplementedError("unusual RGBE orientation")
+    pos = eol + 1
+    data = np.zeros((h, w, 4), np.uint8)
+    for y in range(h):
+        if raw[pos : pos + 2] == b"\x02\x02":  # RLE scanline
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = raw[pos]
+                    pos += 1
+                    if n > 128:
+                        data[y, x : x + n - 128, c] = raw[pos]
+                        pos += 1
+                        x += n - 128
+                    else:
+                        data[y, x : x + n, c] = np.frombuffer(raw, np.uint8, n, pos)
+                        pos += n
+                        x += n
+        else:  # flat
+            row = np.frombuffer(raw, np.uint8, w * 4, pos).reshape(w, 4)
+            data[y] = row
+            pos += w * 4
+    mant = data[..., :3].astype(np.float32)
+    exp = data[..., 3].astype(np.int32) - 128
+    scale = np.ldexp(1.0, exp - 8).astype(np.float32)
+    return mant * scale[..., None]
+
+
+def write_rgbe(path: str, img: np.ndarray) -> None:
+    img = np.maximum(np.asarray(img, np.float32)[..., :3], 0)
+    h, w = img.shape[:2]
+    maxc = img.max(axis=-1)
+    exp = np.zeros((h, w), np.int32)
+    nz = maxc > 1e-32
+    exp[nz] = np.frexp(maxc[nz])[1]
+    scale = np.zeros((h, w), np.float32)
+    scale[nz] = np.ldexp(1.0, 8 - exp[nz])
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+# -- PFM --------------------------------------------------------------------
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        color = header == b"PF"
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        count = w * h * (3 if color else 1)
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4", count)
+    img = data.reshape(h, w, 3 if color else 1)[::-1]  # PFM is bottom-up
+    if not color:
+        img = np.repeat(img, 3, axis=-1)
+    return np.ascontiguousarray(img, np.float32)
+
+
+def write_pfm(path: str, img: np.ndarray) -> None:
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    color = img.shape[-1] >= 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.ascontiguousarray(img[::-1, :, :3] if color else img[::-1, :, :1], "<f4").tobytes())
+
+
+# -- PPM --------------------------------------------------------------------
+
+def read_ppm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    toks = []
+    pos = 0
+    while len(toks) < 4:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        e = pos
+        while e < len(raw) and not raw[e : e + 1].isspace():
+            e += 1
+        toks.append(raw[pos:e])
+        pos = e
+    pos += 1
+    fmt, w, h, maxv = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+    ch = 3 if fmt == b"P6" else 1
+    dt = np.uint8 if maxv < 256 else np.dtype(">u2")
+    img = np.frombuffer(raw, dt, w * h * ch, pos).reshape(h, w, ch)
+    img = img.astype(np.float32) / maxv
+    if ch == 1:
+        img = np.repeat(img, 3, axis=-1)
+    return img
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    img = (np.clip(np.asarray(img, np.float32)[..., :3], 0, 1) * 255 + 0.5).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        f.write(img.tobytes())
+
+
+def _read_jpeg(path: str) -> np.ndarray:
+    raise NotImplementedError(
+        "JPEG decoding is not yet implemented (use PNG/EXR/PFM/HDR)"
+    )
+
+
+def _read_simple(path: str, ext: str) -> np.ndarray:
+    raise NotImplementedError(f"{ext} decoding is not yet implemented")

@@ -1,0 +1,106 @@
+"""Multi-chip rendering: ray-batch data parallelism over a device mesh.
+
+The TPU-native replacement for the reference's scheduler/cluster stack
+(``/root/reference/include/mitsuba/core/sched.h:351`` local workers,
+``sched_remote.h:50`` TCP/SSH remote workers): no bespoke transport — the
+scene is replicated into every chip's HBM (the analog of per-node resource
+caching, sched_remote.cpp ENewResource), pixels/samples are sharded across
+the mesh (the analog of tile ownership), and the film is combined with a
+single ``psum`` over ICI (the analog of serialized WorkResult merging).
+Gradients all-reduce the same way, overlapped by XLA with backward compute.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.types import Float, Int
+from ..core import rng as mrng
+from ..film.film import Film, make_film, splat, develop
+from ..sensor.table import sample_ray
+from ..integrators.path import PathConfig, path_li
+from ..scene.scene import Scene
+from ..scene.build import RenderSettings
+from ..sampler import KIND_BY_NAME
+
+
+def make_mesh(devices=None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_pass_sharded(mesh: Mesh, scene: Scene, settings: RenderSettings,
+                        cfg: PathConfig):
+    """Build a jitted one-sample-per-pixel pass sharded over ``mesh``.
+
+    Returns fn(scene, film_data, sample_idx, seed) -> film_data where pixels
+    are split across devices and the per-device partial films are psum'd.
+    """
+    W, H = settings.width, settings.height
+    n = W * H
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    n_padded = n + pad
+    kind = KIND_BY_NAME.get(settings.sampler, mrng.INDEPENDENT)
+    axis = mesh.axis_names[0]
+
+    def per_device(scene, film_data, pix, sample_idx, seed):
+        sampler = mrng.make_sampler(pix, sample_idx, seed, kind=kind,
+                                    spp=settings.spp)
+        sampler, jitter = mrng.next_2d(sampler)
+        sampler, u_lens = mrng.next_2d(sampler)
+        px = (pix % W).astype(Float)
+        py = (pix // W).astype(Float)
+        pos = jnp.stack([px, py], axis=-1) + jitter
+        uv = pos / jnp.asarray([W, H], Float)
+        o, d, w_sensor = sample_ray(scene.sensor, uv, u_lens)
+        li, _ = path_li(scene, sampler, o, d, cfg)
+        li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+        valid = pix < n  # padded lanes contribute nothing
+        film = Film(data=film_data, width=W, height=H,
+                    ftype=settings.rfilter, radius=settings.rfilter_radius or 2.0)
+        film = splat(film, pos, li * w_sensor[..., None], active=valid)
+        # combine per-device partial films over ICI
+        return jax.lax.psum(film.data - film_data, axis) + film_data
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # replicated carries inside the bounce fori_loop
+    )
+
+    @jax.jit
+    def run(scene, film_data, sample_idx, seed):
+        pix = jnp.arange(n_padded, dtype=jnp.uint32)
+        return sharded(scene, film_data, pix, jnp.asarray(sample_idx, jnp.uint32),
+                       jnp.asarray(seed, jnp.uint32))
+
+    return run
+
+
+def render_sharded(mesh: Mesh, scene: Scene, settings: RenderSettings,
+                   spp: int | None = None) -> np.ndarray:
+    """Full multi-device render -> (H, W, 3) image."""
+    spp = spp or settings.spp
+    ip = settings.integrator_props
+    cfg = PathConfig(
+        max_depth=ip.get("max_depth", -1), rr_depth=ip.get("rr_depth", 5),
+        hide_emitters=ip.get("hide_emitters", False),
+    )
+    if settings.rfilter_radius is None:
+        from ..film.film import DEFAULT_RADIUS
+
+        settings.rfilter_radius = DEFAULT_RADIUS[settings.rfilter]
+    run = render_pass_sharded(mesh, scene, settings, cfg)
+    film = make_film(settings.width, settings.height, settings.rfilter,
+                     settings.rfilter_radius)
+    data = film.data
+    for s in range(spp):
+        data = run(scene, data, s, settings.seed)
+    return np.asarray(develop(film.replace(data=data)))

@@ -1,0 +1,204 @@
+"""Host-side scene assembly: accumulate plugin outputs, compile to a Scene.
+
+The analog of ``Scene::initialize`` (``/root/reference/src/librender/
+scene.cpp:330``): gather shapes into flat primitive tables, build the BVH,
+build the emitter selection CDF (scene.cpp:365-388), pack BSDF/texture
+tables, and produce the device-resident :class:`Scene` pytree plus the
+render settings (film/sampler/integrator configuration).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.types import Float, Int, INVALID
+from ..core.transform import Transform
+from ..accel import bvh as bvh_mod
+from ..accel.intersect import BRUTE_FORCE_MAX
+from ..bsdf import common as bc
+from ..emitter import table as em
+from ..sensor.table import Sensor, make_sensor, S_PERSPECTIVE
+from ..texture.texture import TextureBuilder
+from ..film.film import F_GAUSSIAN, FILTER_NAMES, DEFAULT_RADIUS
+from .geometry import make_geometry
+from .mesh import TriMesh
+from .scene import Scene
+
+
+@dataclass
+class RenderSettings:
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    sampler: str = "independent"
+    seed: int = 0
+    integrator: str = "path"
+    integrator_props: dict = field(default_factory=dict)
+    rfilter: int = F_GAUSSIAN
+    rfilter_radius: float | None = None
+    film_format: str = "exr"
+    banner: bool = False
+    gamma: float = -1.0  # ldrfilm
+    tonemap: str = "gamma"
+    exposure: float = 0.0
+    key: float = 0.18
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.textures = TextureBuilder()
+        self.bsdf_records: list[dict] = []
+        self.emitter_records: list[dict] = []
+        self.media_records: list[dict] = []
+        # triangle soup accumulators
+        self._tri: dict[str, list] = {k: [] for k in (
+            "p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "shape")}
+        self._sph: dict[str, list] = {k: [] for k in ("center", "radius", "shape")}
+        self._disk: dict[str, list] = {k: [] for k in ("center", "n", "s", "t", "radius", "shape")}
+        self.shape_bsdf: list[int] = []
+        self.shape_emitter: list[int] = []
+        self.shape_interior: list[int] = []
+        self.shape_exterior: list[int] = []
+        self.sensor: Sensor | None = None
+        self.settings = RenderSettings()
+        self.ids: dict[str, object] = {}  # id -> bsdf index / texture index
+
+    # -- components --------------------------------------------------------
+    def add_bsdf(self, record: dict) -> int:
+        self.bsdf_records.append(record)
+        return len(self.bsdf_records) - 1
+
+    def default_bsdf(self) -> int:
+        rec = bc.default_record()
+        return self.add_bsdf(rec)
+
+    def new_shape(self, bsdf_id: int, emitter_id: int = INVALID,
+                  interior: int = INVALID, exterior: int = INVALID) -> int:
+        self.shape_bsdf.append(bsdf_id)
+        self.shape_emitter.append(emitter_id)
+        self.shape_interior.append(interior)
+        self.shape_exterior.append(exterior)
+        return len(self.shape_bsdf) - 1
+
+    def add_trimesh(self, mesh: TriMesh, shape_id: int, face_normals=False):
+        p = np.asarray(mesh.positions, np.float64)
+        idx = np.asarray(mesh.indices, np.int64)
+        if len(idx) == 0:
+            return
+        p0 = p[idx[:, 0]]
+        e1 = p[idx[:, 1]] - p0
+        e2 = p[idx[:, 2]] - p0
+        gn = np.cross(e1, e2)
+        l = np.linalg.norm(gn, axis=1, keepdims=True)
+        gn = np.divide(gn, l, out=np.zeros_like(gn), where=l > 0)
+        if mesh.normals is not None and not face_normals:
+            n0, n1, n2 = (mesh.normals[idx[:, k]] for k in range(3))
+        else:
+            n0 = n1 = n2 = gn
+        if mesh.uvs is not None:
+            uv0, uv1, uv2 = (mesh.uvs[idx[:, k]] for k in range(3))
+        else:
+            uv0 = uv1 = uv2 = np.zeros((len(idx), 2))
+        t = self._tri
+        t["p0"].append(p0); t["e1"].append(e1); t["e2"].append(e2)
+        t["n0"].append(n0); t["n1"].append(n1); t["n2"].append(n2)
+        t["uv0"].append(uv0); t["uv1"].append(uv1); t["uv2"].append(uv2)
+        t["shape"].append(np.full(len(idx), shape_id, np.int32))
+
+    def add_sphere(self, center, radius: float, shape_id: int) -> int:
+        s = self._sph
+        s["center"].append(np.asarray(center, np.float64).reshape(1, 3))
+        s["radius"].append(np.asarray([radius], np.float64))
+        s["shape"].append(np.asarray([shape_id], np.int32))
+        return sum(len(a) for a in s["radius"]) - 1
+
+    def add_disk(self, center, n, s_axis, t_axis, radius: float, shape_id: int) -> int:
+        d = self._disk
+        d["center"].append(np.asarray(center, np.float64).reshape(1, 3))
+        d["n"].append(np.asarray(n, np.float64).reshape(1, 3))
+        d["s"].append(np.asarray(s_axis, np.float64).reshape(1, 3))
+        d["t"].append(np.asarray(t_axis, np.float64).reshape(1, 3))
+        d["radius"].append(np.asarray([radius], np.float64))
+        d["shape"].append(np.asarray([shape_id], np.int32))
+        return sum(len(a) for a in d["radius"]) - 1
+
+    def add_emitter(self, record: dict) -> int:
+        self.emitter_records.append(record)
+        return len(self.emitter_records) - 1
+
+    # -- compile ------------------------------------------------------------
+    def build(self) -> tuple[Scene, RenderSettings]:
+        cat = lambda parts, shape: (
+            np.concatenate(parts, axis=0).astype(np.float32)
+            if parts else np.zeros(shape, np.float32)
+        )
+        tri = None
+        if self._tri["p0"]:
+            tri = {k: np.concatenate(v, axis=0) for k, v in self._tri.items()}
+        sph = None
+        if self._sph["center"]:
+            sph = {k: np.concatenate(v, axis=0) for k, v in self._sph.items()}
+        disk = None
+        if self._disk["center"]:
+            disk = {k: np.concatenate(v, axis=0) for k, v in self._disk.items()}
+
+        geom = make_geometry(tri, sph, disk)
+
+        # BVH (built only when the soup is big enough to beat brute force)
+        n_tris = geom.n_tris
+        if n_tris > BRUTE_FORCE_MAX:
+            lo, hi = bvh_mod.tri_bounds(
+                np.asarray(geom.tri_p0), np.asarray(geom.tri_e1), np.asarray(geom.tri_e2)
+            )
+            bvh = bvh_mod.build_bvh(lo[:n_tris] if n_tris else lo, hi[:n_tris] if n_tris else hi)
+            use_bvh = True
+        else:
+            bvh = bvh_mod.FlatBVH(
+                node_lo=jnp.zeros((1, 3), Float), node_hi=jnp.zeros((1, 3), Float),
+                node_start=jnp.zeros(1, Int), node_count=jnp.zeros(1, Int),
+                node_skip=jnp.full(1, -1, Int), order=jnp.zeros(1, Int),
+            )
+            use_bvh = False
+
+        # scene bounding sphere (for env/directional emitters)
+        pts = []
+        if tri is not None:
+            pts += [tri["p0"], tri["p0"] + tri["e1"], tri["p0"] + tri["e2"]]
+        if sph is not None:
+            pts += [sph["center"] - sph["radius"][:, None],
+                    sph["center"] + sph["radius"][:, None]]
+        if disk is not None:
+            pts += [disk["center"] - disk["radius"][:, None],
+                    disk["center"] + disk["radius"][:, None]]
+        if pts:
+            allp = np.concatenate(pts, axis=0)
+            c = 0.5 * (allp.min(0) + allp.max(0))
+            r = float(np.linalg.norm(allp - c, axis=1).max()) + 1e-3
+        else:
+            c, r = np.zeros(3), 1.0
+
+        emitters = em.build_emitters(
+            self.emitter_records,
+            tri if tri is not None else {},
+            (c, r),
+        )
+
+        sensor = self.sensor or make_sensor(
+            S_PERSPECTIVE, Transform.look_at([0, 0, -5], [0, 0, 0], [0, 1, 0]),
+            aspect=self.settings.width / max(self.settings.height, 1),
+        )
+
+        scene = Scene(
+            geom=geom,
+            bvh=bvh,
+            bsdfs=bc.build_table(self.bsdf_records),
+            textures=self.textures.build(),
+            emitters=emitters,
+            sensor=sensor,
+            shape_bsdf=jnp.asarray(self.shape_bsdf or [0], Int),
+            shape_emitter=jnp.asarray(self.shape_emitter or [INVALID], Int),
+            use_bvh=use_bvh,
+        )
+        return scene, self.settings

@@ -1,0 +1,58 @@
+"""Compiled scene: one pytree holding every table the kernels need.
+
+The TPU analog of the reference ``Scene`` object
+(``/root/reference/include/mitsuba/render/scene.h:49``): geometry + BVH +
+BSDF/texture/emitter tables + sensor + per-shape attribute maps, all
+device-resident arrays.  Being a pytree, the entire scene flows through
+``jax.jit`` arguments, can be donated, replicated or sharded with
+``jax.sharding``, and is differentiable where its leaves are.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, static_field, Float, Int, INVALID, EPSILON, SHADOW_EPSILON
+from ..accel.bvh import FlatBVH
+from ..accel import intersect as isect
+from ..bsdf.common import BSDFTable, LaneParams, resolve as bsdf_resolve
+from ..emitter.table import EmitterTable
+from ..sensor.table import Sensor
+from ..texture.texture import TextureTable
+from .geometry import Geometry, Hit, Interaction, compute_interaction
+
+
+@pytree_dataclass
+class Scene:
+    geom: Geometry
+    bvh: FlatBVH
+    bsdfs: BSDFTable
+    textures: TextureTable
+    emitters: EmitterTable
+    sensor: Sensor
+    shape_bsdf: jax.Array  # (S,) int32
+    shape_emitter: jax.Array  # (S,) int32
+    use_bvh: bool = static_field(default=False)
+
+    # -- queries (scene.h rayIntersect / isOccluded analogs) ---------------
+    def ray_intersect(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:
+        return isect.intersect(
+            self.geom, o, d, tmin, tmax, bvh=self.bvh if self.use_bvh else None
+        )
+
+    def occluded(self, o, d, tmin, tmax) -> jax.Array:
+        return isect.occluded(
+            self.geom, o, d, tmin, tmax, bvh=self.bvh if self.use_bvh else None
+        )
+
+    def interaction(self, o, d, hit: Hit) -> Interaction:
+        return compute_interaction(self.geom, o, d, hit)
+
+    def bsdf_at(self, it: Interaction) -> LaneParams:
+        sid = jnp.where(it.shape == INVALID, 0, it.shape)
+        bid = self.shape_bsdf[sid]
+        return bsdf_resolve(self.bsdfs, self.textures, bid, it.uv)
+
+    def emitter_at(self, it: Interaction) -> jax.Array:
+        sid = jnp.where(it.shape == INVALID, 0, it.shape)
+        return jnp.where(it.shape == INVALID, INVALID, self.shape_emitter[sid])

@@ -6,13 +6,19 @@ multi-host-testing strategy in SURVEY.md §4.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox presets JAX_PLATFORMS=axon (TPU); the env var alone does not
+# reliably override it, so force the platform through jax.config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
