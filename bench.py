@@ -37,8 +37,8 @@ def main():
     def render_pass(scene, sample_idx):
         pix = jnp.arange(n, dtype=jnp.uint32)
         sampler = mrng.make_sampler(pix, sample_idx, jnp.uint32(0))
-        sampler, jitter = mrng.next_2d(sampler)
-        sampler, u_lens = mrng.next_2d(sampler)
+        sampler, blk0 = mrng.next_block4(sampler)
+        jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
         pos = jnp.stack([(pix % W).astype(Float), (pix // W).astype(Float)], -1) + jitter
         uv = pos / jnp.asarray([W, H], Float)
         o, d, _w = sample_ray(scene.sensor, uv, u_lens)
@@ -46,13 +46,15 @@ def main():
         return jnp.sum(li)
 
     # warmup / compile
-    render_pass(scene, jnp.uint32(0)).block_until_ready()
+    n_passes = 24
+    sample_ids = [jnp.uint32(s) for s in range(n_passes + 1)]
+    render_pass(scene, sample_ids[0]).block_until_ready()
+    render_pass(scene, sample_ids[1]).block_until_ready()
 
-    n_passes = 8
     t0 = time.perf_counter()
     acc = 0.0
     for s in range(n_passes):
-        acc = render_pass(scene, jnp.uint32(s + 1))
+        acc = render_pass(scene, sample_ids[s + 1])
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
 

@@ -37,6 +37,11 @@ BRUTE_FORCE_MAX = 512  # tris; above this the BVH path is used
 BIG = 3.0e37
 
 
+def _use_pallas() -> bool:
+    """Pallas kernels on real TPU; interpretable jnp path elsewhere."""
+    return jax.default_backend() not in ("cpu",)
+
+
 # ---------------------------------------------------------------------------
 # Primitive tests (broadcast over a trailing primitive axis)
 # ---------------------------------------------------------------------------
@@ -44,12 +49,12 @@ BIG = 3.0e37
 def _moeller_trumbore(o, d, p0, e1, e2, tmin, tmax):
     """Batched MT test. o,d: (R, 1, 3); p0,e1,e2: (1|R, P, 3) -> (R, P) each.
     Returns (hit_mask, t, u, v)."""
-    pvec = jnp.cross(d, e2)
+    pvec = m.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
     tvec = o - p0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
+    qvec = m.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     hit = (
@@ -107,7 +112,7 @@ def _disk_test(o, d, center, n, s, t_axis, radius, tmin, tmax):
 def _closest_from_masked(t, mask, axis=-1):
     tm = jnp.where(mask, t, BIG)
     idx = jnp.argmin(tm, axis=axis)
-    tbest = jnp.take_along_axis(tm, idx[..., None], axis=axis)[..., 0]
+    tbest = jnp.min(tm, axis=axis)  # reduce, not take_along_axis (slow gather)
     return idx.astype(Int), tbest, tbest < BIG
 
 
@@ -119,11 +124,25 @@ def intersect_brute(geom: Geometry, o, d, tmin, tmax) -> Hit:
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
 
-    th, tt, tu, tv = _moeller_trumbore(
-        o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
-        tmin_b, tmax_b,
-    )
-    ti, tbest, tvalid = _closest_from_masked(tt, th)
+    if _use_pallas():
+        from . import pallas_intersect as pk
+
+        # intersection geometry is detached (visibility is not
+        # differentiated; shading recombines p = o + t*d outside)
+        sg = jax.lax.stop_gradient
+        tbest, tu_b, tv_b, ti, tvalid = pk.closest_tris(
+            pk.replicate_tris(geom), sg(o), sg(d), sg(tmin), sg(tmax)
+        )
+        tri_pack = (ti, tbest, tvalid, None, None)
+        tri_uv = (tu_b, tv_b)
+    else:
+        th, tt, tu, tv = _moeller_trumbore(
+            o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
+            tmin_b, tmax_b,
+        )
+        ti, tbest, tvalid = _closest_from_masked(tt, th)
+        tri_pack = (ti, tbest, tvalid, tu, tv)
+        tri_uv = None
 
     sh, st = _sphere_test(
         o_b, d_b, geom.sph_center[None], geom.sph_radius[None], tmin_b, tmax_b
@@ -136,10 +155,11 @@ def intersect_brute(geom: Geometry, o, d, tmin, tmax) -> Hit:
     )
     di, dbest, dvalid = _closest_from_masked(dt, dh)
 
-    return _merge_hits(geom, (ti, tbest, tvalid, tu, tv), (si, sbest, svalid), (di, dbest, dvalid))
+    return _merge_hits(geom, tri_pack, (si, sbest, svalid), (di, dbest, dvalid),
+                       tri_uv=tri_uv)
 
 
-def _merge_hits(geom, tri, sph, disk):
+def _merge_hits(geom, tri, sph, disk, tri_uv=None):
     ti, tbest, tvalid, tu_all, tv_all = tri
     si, sbest, svalid = sph
     di, dbest, dvalid = disk
@@ -155,7 +175,9 @@ def _merge_hits(geom, tri, sph, disk):
         jnp.where(tbest == best, KIND_TRI, jnp.where(sbest == best, KIND_SPHERE, KIND_DISK)),
     ).astype(Int)
     prim = jnp.where(kind == KIND_TRI, ti, jnp.where(kind == KIND_SPHERE, si, di))
-    if tu_all is not None:
+    if tri_uv is not None:
+        u, v = tri_uv
+    elif tu_all is not None:
         u = jnp.take_along_axis(tu_all, ti[..., None], axis=-1)[..., 0]
         v = jnp.take_along_axis(tv_all, ti[..., None], axis=-1)[..., 0]
     else:
@@ -163,11 +185,15 @@ def _merge_hits(geom, tri, sph, disk):
         v = jnp.zeros_like(best)
     u = jnp.where(kind == KIND_TRI, u, 0.0)
     v = jnp.where(kind == KIND_TRI, v, 0.0)
+    from ..core.gather import gather_rows
+
     shape = jnp.where(
         kind == KIND_TRI,
-        geom.tri_shape[prim],
+        gather_rows(geom.tri_shape, jnp.clip(prim, 0, geom.tri_shape.shape[0] - 1)),
         jnp.where(
-            kind == KIND_SPHERE, geom.sph_shape[prim], geom.disk_shape[prim]
+            kind == KIND_SPHERE,
+            gather_rows(geom.sph_shape, jnp.clip(prim, 0, geom.sph_shape.shape[0] - 1)),
+            gather_rows(geom.disk_shape, jnp.clip(prim, 0, geom.disk_shape.shape[0] - 1)),
         ),
     )
     shape = jnp.where(kind == KIND_NONE, INVALID, shape)
@@ -314,11 +340,19 @@ def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> ja
         o_b, d_b = o[:, None, :], d[:, None, :]
         tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
         tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
-        th, *_ = _moeller_trumbore(
-            o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
-            tmin_b, tmax_b,
-        )
-        blocked = jnp.any(th, axis=-1)
+        if _use_pallas():
+            from . import pallas_intersect as pk
+
+            sg = jax.lax.stop_gradient
+            blocked = pk.anyhit_tris(
+                pk.replicate_tris(geom), sg(o), sg(d), sg(tmin), sg(tmax)
+            )
+        else:
+            th, *_ = _moeller_trumbore(
+                o_b, d_b, geom.tri_p0[None], geom.tri_e1[None], geom.tri_e2[None],
+                tmin_b, tmax_b,
+            )
+            blocked = jnp.any(th, axis=-1)
     else:
         st = intersect_bvh(bvh, geom, o, d, tmin, tmax, any_hit=True)
         blocked = st["found"]

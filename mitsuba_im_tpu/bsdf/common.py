@@ -136,36 +136,60 @@ class LaneParams:
 def resolve(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
             uv: jax.Array) -> LaneParams:
     """Gather per-lane parameters; resolves MASK/twosided wrappers one level
-    (a MASK lane carries its nested bsdf's params + the opacity value)."""
+    (a MASK lane carries its nested bsdf's params + the opacity value).
+
+    All table columns ride in ONE bundled row lookup (select chain on small
+    tables) — per-column dynamic gathers are pathologically slow on TPU.
+    """
+    from ..core.gather import RowBundle
+
     bid = jnp.where(bsdf_id == INVALID, 0, bsdf_id)
 
-    # one level of nested unwrap for mask: lanes of type MASK adopt nested id
-    is_mask = table.type[bid] == MASK
-    opacity = eval_texture(tex, table.opacity_tex[bid], uv, table.opacity[bid])
+    # pass 1: wrapper-level fields to unwrap MASK lanes
+    w = (
+        RowBundle()
+        .add("type", table.type).add("nested", table.nested)
+        .add("opacity", table.opacity).add("opacity_tex", table.opacity_tex)
+    ).lookup(bid)
+    is_mask = w["type"] == MASK
+    opacity = eval_texture(tex, w["opacity_tex"], uv, w["opacity"])
     op_scalar = jnp.clip(jnp.mean(opacity, axis=-1), 0.0, 1.0)
     op_scalar = jnp.where(is_mask, op_scalar, 1.0)
-    bid = jnp.where(is_mask & (table.nested[bid] != INVALID), table.nested[bid], bid)
+    bid = jnp.where(is_mask & (w["nested"] != INVALID), w["nested"], bid)
 
-    alpha_rgb = eval_texture(tex, table.alpha_tex[bid], uv, None)
+    # pass 2: full parameter bundle at the (possibly unwrapped) id
+    r = (
+        RowBundle()
+        .add("type", table.type).add("dist", table.dist)
+        .add("refl", table.refl).add("refl_tex", table.refl_tex)
+        .add("spec", table.spec).add("spec_tex", table.spec_tex)
+        .add("trans", table.trans).add("trans_tex", table.trans_tex)
+        .add("eta", table.eta).add("k", table.k).add("eta_s", table.eta_s)
+        .add("alpha_u", table.alpha_u).add("alpha_v", table.alpha_v)
+        .add("alpha_tex", table.alpha_tex).add("exponent", table.exponent)
+        .add("flags", table.flags)
+    ).lookup(bid)
+
+    alpha_rgb = eval_texture(tex, r["alpha_tex"], uv, None)
     alpha_from_tex = jnp.mean(alpha_rgb, axis=-1)
-    has_atex = table.alpha_tex[bid] != INVALID
-    au = jnp.where(has_atex, alpha_from_tex, table.alpha_u[bid])
-    av = jnp.where(has_atex, alpha_from_tex, table.alpha_v[bid])
+    has_atex = r["alpha_tex"] != INVALID
+    au = jnp.where(has_atex, alpha_from_tex, r["alpha_u"])
+    av = jnp.where(has_atex, alpha_from_tex, r["alpha_v"])
 
     return LaneParams(
-        type=table.type[bid],
-        dist=table.dist[bid],
-        refl=eval_texture(tex, table.refl_tex[bid], uv, table.refl[bid]),
-        spec=eval_texture(tex, table.spec_tex[bid], uv, table.spec[bid]),
-        trans=eval_texture(tex, table.trans_tex[bid], uv, table.trans[bid]),
-        eta=table.eta[bid],
-        k=table.k[bid],
-        eta_s=table.eta_s[bid],
+        type=r["type"],
+        dist=r["dist"],
+        refl=eval_texture(tex, r["refl_tex"], uv, r["refl"]),
+        spec=eval_texture(tex, r["spec_tex"], uv, r["spec"]),
+        trans=eval_texture(tex, r["trans_tex"], uv, r["trans"]),
+        eta=r["eta"],
+        k=r["k"],
+        eta_s=r["eta_s"],
         alpha_u=jnp.maximum(au, 1e-4),
         alpha_v=jnp.maximum(av, 1e-4),
-        exponent=table.exponent[bid],
+        exponent=r["exponent"],
         opacity=op_scalar,
-        flags=table.flags[bid],
+        flags=r["flags"],
         used_types=table.used_types,
     )
 

@@ -39,8 +39,17 @@ class Distribution1D:
 
     def sample(self, u: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Sample entry index; returns (index, pmf[index])."""
+        n = self.pmf.shape[0]
+        if n <= 64:
+            # compare-sum beats per-lane binary search on TPU vector lanes
+            idx = jnp.clip(
+                jnp.sum(self.cdf[1:-1][None] <= u[..., None], axis=-1), 0, n - 1
+            ).astype(jnp.int32)
+            from .gather import gather_rows
+
+            return idx, gather_rows(self.pmf, idx)
         idx = jnp.clip(
-            jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.pmf.shape[0] - 1
+            jnp.searchsorted(self.cdf, u, side="right") - 1, 0, n - 1
         )
         return idx, self.pmf[idx]
 

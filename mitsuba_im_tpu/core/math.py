@@ -27,7 +27,12 @@ def dot(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def cross(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.cross(a, b)
+    # manual components: jnp.cross's roll/slice lowering is slow on TPU
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+    )
 
 
 def squared_norm(a: jax.Array) -> jax.Array:

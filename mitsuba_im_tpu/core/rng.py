@@ -179,6 +179,36 @@ def _sobol02(s: SamplerState, dim0: jax.Array) -> jax.Array:
     )
 
 
+def next_block4(s: SamplerState) -> tuple[SamplerState, jax.Array]:
+    """Draw 4 dimensions with ONE hash (the hot-loop API).
+
+    Aligns the dimension counter up to a multiple of 4 and returns all four
+    words of a single PCG4D evaluation as (..., 4) floats.  Integrators that
+    share a stream prefix (path vs direct) must consume the same block
+    sequence for their estimates to match sample-for-sample.
+    """
+    dim = (s.dim + U32(3)) & ~U32(3)
+    s2 = s.replace(dim=dim)
+    bits = pcg4d(
+        jnp.stack(
+            [
+                s.base[..., 0],
+                s.base[..., 1],
+                s.base[..., 2] ^ dim,
+                s.base[..., 3],
+            ],
+            axis=-1,
+        )
+    )
+    u = _to_unit_float(bits)
+    if s.kind == STRATIFIED:
+        u = u.at[..., :2].set(_stratified_remap(s2, u[..., :2], dim))
+    elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
+        ld = _sobol02(s2, dim)
+        u = jnp.where((dim == 0)[..., None], jnp.concatenate([ld, u[..., 2:]], -1), u)
+    return s2.replace(dim=dim + U32(4)), u
+
+
 def next_1d(s: SamplerState) -> tuple[SamplerState, jax.Array]:
     u = _to_unit_float(s.draw_bits(1)[..., 0])
     return s.replace(dim=s.dim + U32(1)), u

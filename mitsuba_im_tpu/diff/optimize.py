@@ -73,8 +73,8 @@ def render_rays(scene: Scene, settings: RenderSettings, cfg: PathConfig,
     """Differentiable per-pixel radiance estimate for a pixel-index batch."""
     kind = KIND_BY_NAME.get(settings.sampler, mrng.INDEPENDENT)
     sampler = mrng.make_sampler(pix, sample_idx, seed, kind=kind, spp=settings.spp)
-    sampler, jitter = mrng.next_2d(sampler)
-    sampler, u_lens = mrng.next_2d(sampler)
+    sampler, blk0 = mrng.next_block4(sampler)
+    jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
     W, H = settings.width, settings.height
     px = (pix % W).astype(Float)
     py = (pix // W).astype(Float)

@@ -69,6 +69,7 @@ class EmitterTable:
     env_index: int = static_field(default=-1)  # static: which row is envmap
     n_emitters: int = static_field(default=0)
     used_types: tuple = static_field(default=())
+    used_area_kinds: tuple = static_field(default=())
 
 
 class DirectSample(NamedTuple):
@@ -174,6 +175,10 @@ def build_emitters(records: list[dict], geom_host: dict, bsphere) -> EmitterTabl
         env_index=env_index,
         n_emitters=len(records),
         used_types=tuple(sorted({int(r["type"]) for r in recs})),
+        used_area_kinds=tuple(sorted({
+            int(r.get("area_kind", AK_TRIMESH))
+            for r in recs if r.get("type") == EM_AREA
+        })),
     )
 
 
@@ -266,8 +271,23 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
             emitter=jnp.full(shape, INVALID, Int),
         )
 
-    eid, sel_pmf = em.select.sample(u_sel)
-    etype = em.type[eid]
+    if em.select.pmf.shape[0] == 1:
+        eid = jnp.zeros(shape, Int)
+        sel_pmf = jnp.ones(shape, Float)
+    else:
+        eid, sel_pmf = em.select.sample(u_sel)
+
+    from ..core.gather import RowBundle
+
+    eb = (
+        RowBundle()
+        .add("type", em.type).add("radiance", em.radiance)
+        .add("intensity", em.intensity).add("position", em.position)
+        .add("direction", em.direction).add("cos_cutoff", em.cos_cutoff)
+        .add("cos_falloff", em.cos_falloff).add("total_area", em.total_area)
+        .add("area_kind", em.area_kind).add("prim", em.prim)
+    ).lookup(eid)
+    etype = eb["type"]
 
     d = jnp.zeros(shape + (3,), Float)
     dist = jnp.full(shape, 1.0, Float)
@@ -281,7 +301,7 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
     for t in em.used_types:
         selm = etype == t
         if t == EM_AREA:
-            p_s, n_s, pos_pdf_a = _sample_area_position(em, geom, eid, u2)
+            p_s, n_s, pos_pdf_a = _sample_area_position(em, geom, eid, u2, eb)
             dvec = p_s - ref_p
             r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
             r = jnp.sqrt(r2)
@@ -289,22 +309,22 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
             cos_emit = m.dot(n_s, -du)
             front = cos_emit > 1e-6
             pdf_sa = pos_pdf_a * r2 / jnp.maximum(cos_emit, 1e-8)
-            val = jnp.where(front[..., None], em.radiance[eid], 0.0)
+            val = jnp.where(front[..., None], eb["radiance"], 0.0)
             d, dist, value, pdf, delta, n_out = _sel6(
                 selm, (du, r, val, jnp.where(front, pdf_sa, 0.0),
                        jnp.zeros(shape, bool), n_s),
                 (d, dist, value, pdf, delta, n_out),
             )
         elif t in (EM_POINT, EM_SPOT):
-            dvec = em.position[eid] - ref_p
+            dvec = eb["position"] - ref_p
             r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
             r = jnp.sqrt(r2)
             du = dvec / r[..., None]
-            val = em.intensity[eid] / r2[..., None]
+            val = eb["intensity"] / r2[..., None]
             if t == EM_SPOT:
-                cd = m.dot(-du, em.direction[eid])
-                cc = em.cos_cutoff[eid]
-                cf = em.cos_falloff[eid]
+                cd = m.dot(-du, eb["direction"])
+                cc = eb["cos_cutoff"]
+                cf = eb["cos_falloff"]
                 fall = jnp.clip((cd - cc) / jnp.maximum(cf - cc, 1e-6), 0.0, 1.0)
                 val = val * jnp.where(cd > cc, fall, 0.0)[..., None]
             d, dist, value, pdf, delta, n_out = _sel6(
@@ -312,9 +332,8 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
                 (d, dist, value, pdf, delta, n_out),
             )
         elif t == EM_DIRECTIONAL:
-            du = -em.direction[eid]
-            du = jnp.broadcast_to(du, shape + (3,))
-            val = jnp.broadcast_to(em.intensity[eid], shape + (3,))
+            du = jnp.broadcast_to(-eb["direction"], shape + (3,))
+            val = jnp.broadcast_to(eb["intensity"], shape + (3,))
             d, dist, value, pdf, delta, n_out = _sel6(
                 selm,
                 (du, jnp.full(shape, far), val, jnp.ones(shape),
@@ -324,7 +343,7 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
         elif t in (EM_CONSTANT, EM_ENVMAP):
             if t == EM_CONSTANT:
                 du = warp.square_to_uniform_sphere(u2)
-                val = jnp.broadcast_to(em.radiance[eid], shape + (3,))
+                val = jnp.broadcast_to(eb["radiance"], shape + (3,))
                 pdf_sa = jnp.full(shape, warp.INV_FOURPI, Float)
             else:
                 uv, pdf_uv = em.env_dist.sample_continuous(u2)
@@ -332,7 +351,7 @@ def sample_direct(em: EmitterTable, geom: Geometry, ref_p: jax.Array,
                 theta = uv[..., 1] * jnp.pi
                 sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
                 pdf_sa = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
-                val = _env_lookup(em, uv, em.radiance[eid])
+                val = _env_lookup(em, uv, eb["radiance"])
             d, dist, value, pdf, delta, n_out = _sel6(
                 selm,
                 (du, jnp.full(shape, far), val, pdf_sa,
@@ -357,58 +376,78 @@ def _sel6(mask, new, old):
     return tuple(out)
 
 
-def _sample_area_position(em: EmitterTable, geom: Geometry, eid, u2):
-    """Uniform-by-area point on the emitter's shape; returns (p, n, pdf_area)."""
-    kind = em.area_kind[eid]
+def _sample_area_position(em: EmitterTable, geom: Geometry, eid, u2, eb):
+    """Uniform-by-area point on the emitter's shape; returns (p, n, pdf_area).
 
-    # triangle-mesh case
-    Tm = em.tri_idx.shape[1]
-    cdf = em.tri_cdf[eid]  # (..., Tm+1)
-    flat_cdf = cdf.reshape(-1, Tm + 1)
-    flat_u = u2[..., 0].reshape(-1)
-    import jax as _jax
+    Only the area-kinds present in the scene (static ``used_area_kinds``)
+    are compiled; triangle CDF inversion uses a vectorized compare-sum
+    (cheaper than a per-lane binary search on the VPU for typical emissive
+    triangle counts)."""
+    kinds = em.used_area_kinds or (AK_TRIMESH,)
+    kind = eb["area_kind"]
+    shape = u2.shape[:-1]
+    p = jnp.zeros(shape + (3,), Float)
+    n = jnp.zeros(shape + (3,), Float)
 
-    li = _jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
-        flat_cdf, flat_u
-    ).reshape(u2[..., 0].shape) - 1
-    li = jnp.clip(li, 0, Tm - 1)
-    # rescale u for reuse inside the chosen triangle
-    lo = jnp.take_along_axis(cdf, li[..., None], axis=-1)[..., 0]
-    hi = jnp.take_along_axis(cdf, (li + 1)[..., None], axis=-1)[..., 0]
-    u0r = jnp.clip((u2[..., 0] - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
-    tri = em.tri_idx[eid, li]
-    bary = warp.square_to_uniform_triangle(jnp.stack([u0r, u2[..., 1]], axis=-1))
-    p_tri = (
-        geom.tri_p0[tri]
-        + geom.tri_e1[tri] * bary[..., 0:1]
-        + geom.tri_e2[tri] * bary[..., 1:2]
-    )
-    n_tri = m.normalize(m.cross(geom.tri_e1[tri], geom.tri_e2[tri]))
+    if AK_TRIMESH in kinds:
+        Tm = em.tri_idx.shape[1]
+        single = em.tri_cdf.shape[0] == 1
+        cdf = em.tri_cdf[0] if single else em.tri_cdf[eid]  # (Tm+1,) | (...,Tm+1)
+        u0 = u2[..., 0]
+        # index = #{k >= 1 : cdf[k] <= u}
+        if single:
+            li = jnp.sum((cdf[1:][None, :] <= u0[..., None]), axis=-1)
+        else:
+            li = jnp.sum(cdf[..., 1:] <= u0[..., None], axis=-1)
+        li = jnp.clip(li, 0, Tm - 1).astype(Int)
+        from ..core.gather import RowBundle, gather_rows
 
-    # sphere case
-    prim = em.prim[eid]
-    dir_s = warp.square_to_uniform_sphere(u2)
-    p_sph = geom.sph_center[prim] + dir_s * geom.sph_radius[prim][..., None]
-    n_sph = dir_s
+        if single:
+            lo = gather_rows(cdf, li)
+            hi = gather_rows(cdf, li + 1)
+            tri = gather_rows(em.tri_idx[0], li)
+        else:
+            lo = jnp.take_along_axis(cdf, li[..., None], axis=-1)[..., 0]
+            hi = jnp.take_along_axis(cdf, (li + 1)[..., None], axis=-1)[..., 0]
+            tri = em.tri_idx[eid, li]
+        u0r = jnp.clip((u0 - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        bary = warp.square_to_uniform_triangle(
+            jnp.stack([u0r, u2[..., 1]], axis=-1)
+        )
+        tg = (
+            RowBundle()
+            .add("p0", geom.tri_p0).add("e1", geom.tri_e1).add("e2", geom.tri_e2)
+        ).lookup(tri)
+        p_tri = (
+            tg["p0"]
+            + tg["e1"] * bary[..., 0:1]
+            + tg["e2"] * bary[..., 1:2]
+        )
+        n_tri = m.normalize(m.cross(tg["e1"], tg["e2"]))
+        sel = (kind == AK_TRIMESH)[..., None]
+        p = jnp.where(sel, p_tri, p)
+        n = jnp.where(sel, n_tri, n)
 
-    # disk case
-    pd = warp.square_to_uniform_disk_concentric(u2)
-    p_disk = (
-        geom.disk_center[prim]
-        + geom.disk_s[prim] * (pd[..., 0] * geom.disk_radius[prim])[..., None]
-        + geom.disk_t[prim] * (pd[..., 1] * geom.disk_radius[prim])[..., None]
-    )
-    n_disk = geom.disk_n[prim]
+    prim = eb["prim"]
+    if AK_SPHERE in kinds:
+        dir_s = warp.square_to_uniform_sphere(u2)
+        p_sph = geom.sph_center[prim] + dir_s * geom.sph_radius[prim][..., None]
+        sel = (kind == AK_SPHERE)[..., None]
+        p = jnp.where(sel, p_sph, p)
+        n = jnp.where(sel, dir_s, n)
 
-    p = jnp.where(
-        (kind == AK_TRIMESH)[..., None], p_tri,
-        jnp.where((kind == AK_SPHERE)[..., None], p_sph, p_disk),
-    )
-    n = jnp.where(
-        (kind == AK_TRIMESH)[..., None], n_tri,
-        jnp.where((kind == AK_SPHERE)[..., None], n_sph, n_disk),
-    )
-    pdf_area = 1.0 / jnp.maximum(em.total_area[eid], 1e-12)
+    if AK_DISK in kinds:
+        pd = warp.square_to_uniform_disk_concentric(u2)
+        p_disk = (
+            geom.disk_center[prim]
+            + geom.disk_s[prim] * (pd[..., 0] * geom.disk_radius[prim])[..., None]
+            + geom.disk_t[prim] * (pd[..., 1] * geom.disk_radius[prim])[..., None]
+        )
+        sel = (kind == AK_DISK)[..., None]
+        p = jnp.where(sel, p_disk, p)
+        n = jnp.where(sel, geom.disk_n[prim], n)
+
+    pdf_area = 1.0 / jnp.maximum(eb["total_area"], 1e-12)
     return p, n, pdf_area
 
 
@@ -417,15 +456,21 @@ def pdf_direct_area(em: EmitterTable, emitter_id, ref_p, p_emit, n_emit) -> jax.
     hitting an *area* emitter at p_emit (``Scene::pdfEmitterDirect``)."""
     if em.n_emitters == 0:
         return jnp.zeros(ref_p.shape[:-1], Float)
+    from ..core.gather import RowBundle
+
     eid = jnp.where(emitter_id == INVALID, 0, emitter_id)
-    sel_pmf = em.select.pmf[eid]
+    eb = (
+        RowBundle()
+        .add("pmf", em.select.pmf).add("total_area", em.total_area)
+        .add("type", em.type)
+    ).lookup(eid)
     dvec = p_emit - ref_p
     r2 = jnp.maximum(m.dot(dvec, dvec), 1e-12)
     du = dvec * jax.lax.rsqrt(r2)[..., None]
     cos_e = m.dot(n_emit, -du)
-    pdf_sa = (1.0 / jnp.maximum(em.total_area[eid], 1e-12)) * r2 / jnp.maximum(cos_e, 1e-8)
-    valid = (emitter_id != INVALID) & (em.type[eid] == EM_AREA) & (cos_e > 1e-6)
-    return jnp.where(valid, pdf_sa * sel_pmf, 0.0)
+    pdf_sa = (1.0 / jnp.maximum(eb["total_area"], 1e-12)) * r2 / jnp.maximum(cos_e, 1e-8)
+    valid = (emitter_id != INVALID) & (eb["type"] == EM_AREA) & (cos_e > 1e-6)
+    return jnp.where(valid, pdf_sa * eb["pmf"], 0.0)
 
 
 def pdf_direct_env(em: EmitterTable, d_world) -> jax.Array:
@@ -439,7 +484,10 @@ def emitted_radiance(em: EmitterTable, shape_emitter_id, n_surf, wo_world) -> ja
     """Le(x, wo) for a surface hit on an area emitter (front side only)."""
     if em.n_emitters == 0:
         return jnp.zeros(wo_world.shape[:-1] + (3,), Float)
+    from ..core.gather import RowBundle
+
     eid = jnp.where(shape_emitter_id == INVALID, 0, shape_emitter_id)
+    eb = RowBundle().add("type", em.type).add("radiance", em.radiance).lookup(eid)
     front = m.dot(n_surf, wo_world) > 0
-    valid = (shape_emitter_id != INVALID) & (em.type[eid] == EM_AREA) & front
-    return jnp.where(valid[..., None], em.radiance[eid], 0.0)
+    valid = (shape_emitter_id != INVALID) & (eb["type"] == EM_AREA) & front
+    return jnp.where(valid[..., None], eb["radiance"], 0.0)

@@ -89,9 +89,10 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         )
 
         # --- next-event estimation (sampleEmitterDirect, path.cpp:176) ----
-        s, u_sel = mrng.next_1d(s)
-        s, u_pos = mrng.next_2d(s)
-        ds = em.sample_direct(scene.emitters, scene.geom, st["p"], u_sel, u_pos)
+        s, nee_blk = mrng.next_block4(s)
+        ds = em.sample_direct(
+            scene.emitters, scene.geom, st["p"], nee_blk[..., 0], nee_blk[..., 1:3]
+        )
         wo_local_nee = m.Frame.to_local(frame, ds.d)
         f_nee = bsdf_eval(bparams, st["wi_local"], wo_local_nee)
         pdf_bsdf_nee = bsdf_pdf(bparams, st["wi_local"], wo_local_nee)
@@ -105,10 +106,9 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         st_li = st["li"] + jnp.where((can_nee & ~occ)[..., None], contrib, 0.0)
 
         # --- BSDF sampling (path.cpp:211) ---------------------------------
-        s, u_lobe = mrng.next_1d(s)
-        s, u_dir = mrng.next_2d(s)
-        s, u_mask = mrng.next_1d(s)
-        bs = bsdf_sample(bparams, st["wi_local"], u_lobe, u_dir, u_mask)
+        s, bsdf_blk = mrng.next_block4(s)
+        bs = bsdf_sample(bparams, st["wi_local"], bsdf_blk[..., 0],
+                         bsdf_blk[..., 1:3], bsdf_blk[..., 3])
         wo_world = m.Frame.to_world(frame, bs.wo)
         thr_new = st["thr"] * bs.weight
         dead = jnp.sum(thr_new, axis=-1) <= 0
@@ -143,7 +143,8 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
 
         # --- Russian roulette (path.cpp:276-290) ---------------------------
         depth = depth_idx + 1  # reference depth counter before increment
-        s, u_rr = mrng.next_1d(s)
+        s, rr_blk = mrng.next_block4(s)
+        u_rr = rr_blk[..., 0]
         q = jnp.minimum(
             jnp.max(thr_new, axis=-1) * eta_new * eta_new, 0.95
         )

@@ -40,9 +40,8 @@ def direct_li(scene: Scene, sampler, o, d, emitter_samples=1, bsdf_samples=1,
 
     s = sampler
     for _ in range(emitter_samples):
-        s, u_sel = mrng.next_1d(s)
-        s, u2 = mrng.next_2d(s)
-        ds = em.sample_direct(scene.emitters, scene.geom, it.p, u_sel, u2)
+        s, blk = mrng.next_block4(s)
+        ds = em.sample_direct(scene.emitters, scene.geom, it.p, blk[..., 0], blk[..., 1:3])
         wo_l = m.Frame.to_local(frame, ds.d)
         f = bsdf_eval(p, it.wi_local, wo_l)
         pdf_b = bsdf_pdf(p, it.wi_local, wo_l)
@@ -54,10 +53,8 @@ def direct_li(scene: Scene, sampler, o, d, emitter_samples=1, bsdf_samples=1,
         li += jnp.where((it.valid & ~occ & (ds.pdf > 0))[..., None], contrib, 0.0)
 
     for _ in range(bsdf_samples):
-        s, u1 = mrng.next_1d(s)
-        s, u2 = mrng.next_2d(s)
-        s, um = mrng.next_1d(s)
-        bs = bsdf_sample(p, it.wi_local, u1, u2, um)
+        s, blk = mrng.next_block4(s)
+        bs = bsdf_sample(p, it.wi_local, blk[..., 0], blk[..., 1:3], blk[..., 3])
         wo_w = m.Frame.to_world(frame, bs.wo)
         hit2 = scene.ray_intersect(it.p, wo_w)
         it2 = scene.interaction(it.p, wo_w, hit2)
@@ -92,10 +89,10 @@ def ao_li(scene: Scene, sampler, o, d, shading_samples=1, ray_length=-1.0):
     s = sampler
     acc = jnp.zeros(o.shape[:-1], Float)
     for _ in range(shading_samples):
-        s, u2 = mrng.next_2d(s)
+        s, blk = mrng.next_block4(s)
         from ..core import warp
 
-        wo_local = warp.square_to_cosine_hemisphere(u2)
+        wo_local = warp.square_to_cosine_hemisphere(blk[..., :2])
         wo_w = m.Frame.to_world(frame, wo_local)
         occ = scene.occluded(it.p, wo_w, EPSILON, ray_length)
         acc += jnp.where(it.valid & ~occ, 1.0, 0.0)

@@ -52,8 +52,8 @@ def render_pass_sharded(mesh: Mesh, scene: Scene, settings: RenderSettings,
     def per_device(scene, film_data, pix, sample_idx, seed):
         sampler = mrng.make_sampler(pix, sample_idx, seed, kind=kind,
                                     spp=settings.spp)
-        sampler, jitter = mrng.next_2d(sampler)
-        sampler, u_lens = mrng.next_2d(sampler)
+        sampler, blk0 = mrng.next_block4(sampler)
+        jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
         px = (pix % W).astype(Float)
         py = (pix // W).astype(Float)
         pos = jnp.stack([px, py], axis=-1) + jitter

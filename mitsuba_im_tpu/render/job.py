@@ -73,8 +73,8 @@ def _render_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
     pix = jnp.arange(n, dtype=jnp.uint32)
     sampler = mrng.make_sampler(pix, sample_idx, seed, kind=kind, spp=spp)
 
-    sampler, jitter = mrng.next_2d(sampler)
-    sampler, u_lens = mrng.next_2d(sampler)
+    sampler, blk0 = mrng.next_block4(sampler)
+    jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
     px = (pix % width).astype(Float)
     py = (pix // width).astype(Float)
     pos = jnp.stack([px, py], axis=-1) + jitter

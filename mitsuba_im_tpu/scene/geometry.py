@@ -158,7 +158,14 @@ def make_geometry(
 
 
 def compute_interaction(geom: Geometry, o: jax.Array, d: jax.Array, hit: Hit) -> Interaction:
-    """Expand a Hit into a full shading-point record (vectorized gather)."""
+    """Expand a Hit into a full shading-point record.
+
+    All per-kind attributes of a primitive are packed into one matrix so
+    each lane does a single bundled row lookup (select-chain/wide gather)
+    instead of a dozen scalar gathers — the dominant cost on TPU otherwise.
+    """
+    from ..core.gather import RowBundle
+
     pr = hit.prim
     is_tri = hit.kind == KIND_TRI
     is_sph = hit.kind == KIND_SPHERE
@@ -169,33 +176,44 @@ def compute_interaction(geom: Geometry, o: jax.Array, d: jax.Array, hit: Hit) ->
 
     p = o + d * hit.t[..., None]
 
-    # --- triangle attributes ---
-    e1 = geom.tri_e1[tp]
-    e2 = geom.tri_e2[tp]
-    ng_tri = m.normalize(m.cross(e1, e2))
+    # --- triangle attributes (one bundled lookup) ---
+    tb = (
+        RowBundle()
+        .add("e1", geom.tri_e1).add("e2", geom.tri_e2)
+        .add("n0", geom.tri_n0).add("n1", geom.tri_n1).add("n2", geom.tri_n2)
+        .add("uv0", geom.tri_uv0).add("uv1", geom.tri_uv1).add("uv2", geom.tri_uv2)
+    ).lookup(tp)
+    ng_tri = m.normalize(m.cross(tb["e1"], tb["e2"]))
     w = 1.0 - hit.u - hit.v
     ns_tri = m.normalize(
-        geom.tri_n0[tp] * w[..., None]
-        + geom.tri_n1[tp] * hit.u[..., None]
-        + geom.tri_n2[tp] * hit.v[..., None]
+        tb["n0"] * w[..., None]
+        + tb["n1"] * hit.u[..., None]
+        + tb["n2"] * hit.v[..., None]
     )
     uv_tri = (
-        geom.tri_uv0[tp] * w[..., None]
-        + geom.tri_uv1[tp] * hit.u[..., None]
-        + geom.tri_uv2[tp] * hit.v[..., None]
+        tb["uv0"] * w[..., None]
+        + tb["uv1"] * hit.u[..., None]
+        + tb["uv2"] * hit.v[..., None]
     )
 
     # --- sphere attributes ---
-    ns_sph = m.normalize(p - geom.sph_center[sp])
+    sb = RowBundle().add("c", geom.sph_center).lookup(sp)
+    ns_sph = m.normalize(p - sb["c"])
     theta, phi = m.spherical_coordinates(ns_sph)
     uv_sph = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
 
     # --- disk attributes ---
-    ns_disk = geom.disk_n[dp]
-    local = p - geom.disk_center[dp]
-    lx = m.dot(local, geom.disk_s[dp])
-    ly = m.dot(local, geom.disk_t[dp])
-    r_ = jnp.sqrt(lx * lx + ly * ly) / jnp.maximum(geom.disk_radius[dp], 1e-20)
+    db = (
+        RowBundle()
+        .add("c", geom.disk_center).add("n", geom.disk_n)
+        .add("s", geom.disk_s).add("t", geom.disk_t)
+        .add("r", geom.disk_radius)
+    ).lookup(dp)
+    ns_disk = db["n"]
+    local = p - db["c"]
+    lx = m.dot(local, db["s"])
+    ly = m.dot(local, db["t"])
+    r_ = jnp.sqrt(lx * lx + ly * ly) / jnp.maximum(db["r"], 1e-20)
     phi_d = jnp.arctan2(ly, lx)
     phi_d = jnp.where(phi_d < 0, phi_d + 2 * jnp.pi, phi_d)
     uv_disk = jnp.stack([r_, phi_d / (2 * jnp.pi)], axis=-1)

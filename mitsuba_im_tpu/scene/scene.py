@@ -49,10 +49,15 @@ class Scene:
         return compute_interaction(self.geom, o, d, hit)
 
     def bsdf_at(self, it: Interaction) -> LaneParams:
+        from ..core.gather import gather_rows
+
         sid = jnp.where(it.shape == INVALID, 0, it.shape)
-        bid = self.shape_bsdf[sid]
+        bid = gather_rows(self.shape_bsdf, sid)
         return bsdf_resolve(self.bsdfs, self.textures, bid, it.uv)
 
     def emitter_at(self, it: Interaction) -> jax.Array:
+        from ..core.gather import gather_rows
+
         sid = jnp.where(it.shape == INVALID, 0, it.shape)
-        return jnp.where(it.shape == INVALID, INVALID, self.shape_emitter[sid])
+        return jnp.where(it.shape == INVALID, INVALID,
+                         gather_rows(self.shape_emitter, sid))

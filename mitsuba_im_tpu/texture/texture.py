@@ -129,19 +129,30 @@ def eval_texture(table: TextureTable, tex_id: jax.Array, uv: jax.Array,
     tex_id: (...,) int32; INVALID lanes return ``const_rgb`` (or zeros).
     uv: (..., 2).
     """
+    from ..core.gather import RowBundle
+
     tid = jnp.where(tex_id == INVALID, 0, tex_id)
-    ttype = table.type[tid]
+    tb = (
+        RowBundle()
+        .add("type", table.type).add("value0", table.value0)
+        .add("value1", table.value1).add("offset", table.offset)
+        .add("width", table.width).add("height", table.height)
+        .add("uvscale", table.uvscale).add("uvoffset", table.uvoffset)
+        .add("param0", table.param0).add("wrap", table.wrap)
+        .add("nested", table.nested)
+    ).lookup(tid)
+    ttype = tb["type"]
     out = jnp.zeros(uv.shape[:-1] + (3,), Float)
 
-    uvs = uv * table.uvscale[tid] + table.uvoffset[tid]
+    uvs = uv * tb["uvscale"] + tb["uvoffset"]
 
     if TEX_CONST in table.used_types:
-        out = jnp.where((ttype == TEX_CONST)[..., None], table.value0[tid], out)
+        out = jnp.where((ttype == TEX_CONST)[..., None], tb["value0"], out)
 
     if TEX_BITMAP in table.used_types:
-        w = table.width[tid]
-        h = table.height[tid]
-        wrap = table.wrap[tid]
+        w = tb["width"]
+        h = tb["height"]
+        wrap = tb["wrap"]
         fx = uvs[..., 0] * w.astype(Float) - 0.5
         fy = uvs[..., 1] * h.astype(Float) - 0.5
         x0 = jnp.floor(fx).astype(Int)
@@ -152,7 +163,7 @@ def eval_texture(table: TextureTable, tex_id: jax.Array, uv: jax.Array,
         def texel(xi, yi):
             xi = _wrap_coord(xi, w, wrap)
             yi = _wrap_coord(yi, h, wrap)
-            idx = table.offset[tid] + yi * jnp.maximum(w, 1) + xi
+            idx = tb["offset"] + yi * jnp.maximum(w, 1) + xi
             idx = jnp.clip(idx, 0, table.atlas.shape[0] - 1)
             return table.atlas[idx]
 
@@ -168,27 +179,27 @@ def eval_texture(table: TextureTable, tex_id: jax.Array, uv: jax.Array,
         xi = jnp.floor(uvs[..., 0] * 2.0).astype(Int)
         yi = jnp.floor(uvs[..., 1] * 2.0).astype(Int)
         even = jnp.mod(xi + yi, 2) == 0
-        c = jnp.where(even[..., None], table.value0[tid], table.value1[tid])
+        c = jnp.where(even[..., None], tb["value0"], tb["value1"])
         out = jnp.where((ttype == TEX_CHECKER)[..., None], c, out)
 
     if TEX_GRID in table.used_types:
-        lw = table.param0[tid]
+        lw = tb["param0"]
         fx = uvs[..., 0] - jnp.floor(uvs[..., 0])
         fy = uvs[..., 1] - jnp.floor(uvs[..., 1])
         on_line = (
             (fx < lw) | (fx > 1 - lw) | (fy < lw) | (fy > 1 - lw)
         )
-        c = jnp.where(on_line[..., None], table.value1[tid], table.value0[tid])
+        c = jnp.where(on_line[..., None], tb["value1"], tb["value0"])
         out = jnp.where((ttype == TEX_GRID)[..., None], c, out)
 
     if TEX_SCALE in table.used_types:
-        nested = jnp.where(table.nested[tid] == INVALID, 0, table.nested[tid])
+        nested = jnp.where(tb["nested"] == INVALID, 0, tb["nested"])
         # one level of nesting: evaluate nested as const/bitmap inline
         base = eval_texture(
             table.replace(used_types=tuple(t for t in table.used_types if t != TEX_SCALE)),
             nested, uv, None,
         )
-        out = jnp.where((ttype == TEX_SCALE)[..., None], base * table.value0[tid], out)
+        out = jnp.where((ttype == TEX_SCALE)[..., None], base * tb["value0"], out)
 
     if const_rgb is not None:
         out = jnp.where((tex_id == INVALID)[..., None], const_rgb, out)
