@@ -1,0 +1,255 @@
+"""Volumetric wavefront path tracer (homogeneous media).
+
+Estimator parity with the reference ``volpath`` plugin
+(``/root/reference/src/integrators/path/volpath.cpp``): free-flight distance
+sampling raced against the surface hit, phase-function scattering with
+NEE + MIS at medium vertices, surface interactions as in the MIS path
+tracer, medium transitions at transmissive boundaries, attenuated shadow
+rays through null boundaries (``Scene::sampleAttenuatedEmitterDirect``
+analog, scene.cpp), and Russian roulette.
+
+TPU shape: the same masked-lane ``fori_loop`` wavefront as ``path_li`` with
+a per-lane medium id; emitter-hit MIS carries the previous vertex's
+directional pdf through the loop state.  Media lookups are bundled row
+reads; media-free scenes compile the medium branches away (static
+``scene.media.any``).
+
+Current medium model: homogeneous sigma_s/sigma_a with channel-averaged
+free-flight sampling and spectral reweighting; heterogeneous grid media
+(Woodcock tracking) are the next stage (SURVEY.md §7 stage 8).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Float, Int, INVALID, EPSILON, SHADOW_EPSILON
+from ..core import math as m
+from ..core import rng as mrng
+from ..bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
+from ..bsdf.common import NULL_BSDF
+from ..emitter import table as em
+from ..media import medium as med
+from ..scene.scene import Scene
+from .path import PathConfig, mi_weight, _fake_it
+
+MAX_NULL_SEGMENTS = 4  # shadow-ray march depth through null boundaries
+
+
+def _medium_transition(scene: Scene, shape_id, d_world, ng, cur_medium):
+    """New medium id after crossing a surface along d_world."""
+    from ..core.gather import RowBundle
+
+    sid = jnp.where(shape_id == INVALID, 0, shape_id)
+    b = (
+        RowBundle()
+        .add("interior", scene.shape_interior)
+        .add("exterior", scene.shape_exterior)
+    ).lookup(sid)
+    entering = m.dot(d_world, ng) < 0
+    new = jnp.where(entering, b["interior"], b["exterior"])
+    has_spec = (b["interior"] != INVALID) | (b["exterior"] != INVALID)
+    return jnp.where((shape_id != INVALID) & has_spec, new, cur_medium)
+
+
+def attenuated_occlusion(scene: Scene, o, d, dist, medium0):
+    """Transmittance along a shadow segment through up to MAX_NULL_SEGMENTS
+    null/mask boundaries; zero when blocked by an opaque surface."""
+    n = o.shape[0]
+    trans = jnp.ones((n, 3), Float)
+    seg_o = o
+    remaining = dist
+    mid = medium0
+    alive = jnp.ones((n,), bool)
+
+    for _ in range(MAX_NULL_SEGMENTS):
+        hit = scene.ray_intersect(seg_o, d, EPSILON, remaining * (1.0 - SHADOW_EPSILON))
+        seg_len = jnp.where(hit.valid, hit.t, remaining)
+        _ss, st, _pt, _g = med.medium_params(scene.media, mid)
+        trans = trans * jnp.where(
+            alive[..., None], med.transmittance(st, seg_len), 1.0
+        )
+        it = scene.interaction(seg_o, d, hit)
+        p = scene.bsdf_at(it)
+        pass_null = p.type == NULL_BSDF
+        pass_mask = (~pass_null) & (p.opacity < 1.0)
+        is_null = pass_null | pass_mask
+        trans = trans * jnp.where(
+            (alive & hit.valid & pass_mask)[..., None],
+            (1.0 - p.opacity)[..., None],
+            1.0,
+        )
+        blocked = alive & hit.valid & ~is_null
+        trans = jnp.where(blocked[..., None], 0.0, trans)
+        mid = jnp.where(
+            alive & hit.valid & is_null,
+            _medium_transition(scene, it.shape, d, it.ng, mid), mid,
+        )
+        seg_o = jnp.where(hit.valid[..., None], it.p, seg_o)
+        remaining = jnp.where(hit.valid, remaining - seg_len, 0.0)
+        alive = alive & hit.valid & is_null & (remaining > EPSILON)
+
+    trans = jnp.where(alive[..., None], 0.0, trans)  # budget exceeded: opaque
+    return trans
+
+
+def volpath_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
+               d: jax.Array, cfg: PathConfig):
+    """Volumetric Li over a flat ray batch."""
+    has_media = scene.media.any
+    n = o.shape[0]
+    max_depth_eff = cfg.max_depth if cfg.max_depth > 0 else 1 << 20
+    n_iters = cfg.max_depth if cfg.max_depth > 0 else cfg.depth_budget + 1
+
+    state = dict(
+        li=jnp.zeros((n, 3), Float),
+        thr=jnp.ones((n, 3), Float),
+        eta=jnp.ones((n,), Float),
+        active=jnp.ones((n,), bool),
+        scattered=jnp.zeros((n,), bool),
+        o=o, d=d,
+        medium=jnp.full((n,), scene.camera_medium, Int),
+        prev_pdf=jnp.zeros((n,), Float),
+        prev_delta=jnp.ones((n,), bool),  # first segment: no MIS partner
+        sampler=sampler,
+    )
+
+    def bounce(depth_idx, st):
+        s = st["sampler"]
+        act = st["active"]
+        o_c, d_c = st["o"], st["d"]
+
+        hit = scene.ray_intersect(o_c, d_c)
+        it = scene.interaction(o_c, d_c, hit)
+        t_surf = jnp.where(hit.valid, hit.t, 1e30)
+
+        # --- free flight vs surface (volpath.cpp sampleDistance) ----------
+        s, blk_m = mrng.next_block4(s)
+        sigma_s, sigma_t, ptype, g = med.medium_params(scene.media, st["medium"])
+        in_medium = (st["medium"] != INVALID) & act
+        if has_media:
+            t_m, st_bar = med.sample_distance(sigma_t, blk_m[..., 0])
+            med_scatter = in_medium & (t_m < t_surf)
+            pdf_t = st_bar * jnp.exp(-st_bar * t_m)
+            w_med = sigma_s * med.transmittance(sigma_t, t_m) / jnp.maximum(pdf_t, 1e-30)[..., None]
+            p_surf = jnp.exp(-st_bar * jnp.minimum(t_surf, 80.0 / jnp.maximum(st_bar, 1e-20)))
+            w_srf = med.transmittance(sigma_t, t_surf) / jnp.maximum(p_surf, 1e-30)[..., None]
+            w_seg = jnp.where(
+                med_scatter[..., None], w_med,
+                jnp.where(in_medium[..., None], w_srf, 1.0),
+            )
+        else:
+            t_m = jnp.zeros((n,), Float)
+            med_scatter = jnp.zeros((n,), bool)
+            w_seg = jnp.ones((n, 3), Float)
+        thr = st["thr"] * jnp.where(act[..., None], w_seg, 1.0)
+
+        # --- emission at the segment end (MIS vs previous NEE) ------------
+        esc = act & ~med_scatter & ~hit.valid
+        surf = act & ~med_scatter & hit.valid
+        eid = scene.emitter_at(it)
+        le = em.emitted_radiance(scene.emitters, eid, it.ns, -d_c)
+        lum_pdf = jnp.where(
+            surf,
+            em.pdf_direct_area(scene.emitters, eid, o_c, it.p, it.ns),
+            em.pdf_direct_env(scene.emitters, d_c),
+        )
+        w_hit = jnp.where(st["prev_delta"], 1.0, mi_weight(st["prev_pdf"], lum_pdf))
+        env_val = em.eval_environment(scene.emitters, d_c)
+        hide = cfg.hide_emitters & ~st["scattered"]
+        emit_val = jnp.where(esc[..., None], env_val, jnp.where(surf[..., None], le, 0.0))
+        li = st["li"] + jnp.where(
+            ((esc | surf) & ~hide)[..., None], thr * emit_val * w_hit[..., None], 0.0
+        )
+
+        # --- scattering vertex ---------------------------------------------
+        depth = depth_idx + 1
+        do_scatter = (depth < max_depth_eff) & (med_scatter | surf)
+        p_vert = jnp.where(med_scatter[..., None], o_c + d_c * t_m[..., None], it.p)
+
+        bparams = scene.bsdf_at(_fake_it({
+            "p": it.p, "ng": it.ng, "ns": it.ns, "ss": it.ss, "ts": it.ts_,
+            "uv": it.uv, "wi_local": it.wi_local, "shape": it.shape,
+            "active": surf,
+        }))
+        frame = (it.ss, it.ts_, it.ns)
+
+        # NEE (surface: bsdf eval; medium: phase eval), attenuated shadow ray
+        s, nee_blk = mrng.next_block4(s)
+        ds = em.sample_direct(scene.emitters, scene.geom, p_vert,
+                              nee_blk[..., 0], nee_blk[..., 1:3])
+        wo_nee_local = m.Frame.to_local(frame, ds.d)
+        f_surf = bsdf_eval(bparams, it.wi_local, wo_nee_local)
+        pdf_surf_nee = bsdf_pdf(bparams, it.wi_local, wo_nee_local)
+        f_phase = med.phase_eval(ptype, g, d_c, ds.d)[..., None] * jnp.ones((1, 3))
+        pdf_phase_nee = med.phase_eval(ptype, g, d_c, ds.d)
+        f_nee = jnp.where(med_scatter[..., None], f_phase, f_surf)
+        pdf_fwd_nee = jnp.where(med_scatter, pdf_phase_nee, pdf_surf_nee)
+        if has_media:
+            trans_sh = attenuated_occlusion(scene, p_vert, ds.d,
+                                            ds.dist, st["medium"])
+        else:
+            occ = scene.occluded(p_vert, ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON))
+            trans_sh = jnp.where(occ[..., None], 0.0, 1.0)
+        w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_fwd_nee))
+        contrib = thr * ds.value * f_nee * trans_sh * m.safe_div(w_nee, ds.pdf)[..., None]
+        li = li + jnp.where((do_scatter & (ds.pdf > 0))[..., None], contrib, 0.0)
+
+        # direction sampling
+        s, sc_blk = mrng.next_block4(s)
+        bs = bsdf_sample(bparams, it.wi_local, sc_blk[..., 0],
+                         sc_blk[..., 1:3], sc_blk[..., 3])
+        wo_surf = m.Frame.to_world(frame, bs.wo)
+        wo_phase, pdf_phase = med.phase_sample(ptype, g, d_c, sc_blk[..., 1:3])
+        wo = jnp.where(med_scatter[..., None], wo_phase, wo_surf)
+        # phase importance weight is exactly 1 (pdf == value)
+        w_dir = jnp.where(med_scatter[..., None], jnp.ones_like(bs.weight), bs.weight)
+        thr_new = thr * jnp.where(do_scatter[..., None], w_dir, 1.0)
+        # null/mask passthrough is not a scattering event: keep the previous
+        # vertex's MIS pdf, else the env/area hit after the boundary gets
+        # weight 1 on top of the NEE estimate (double counting)
+        prev_pdf = jnp.where(
+            med_scatter, pdf_phase,
+            jnp.where(bs.null_passthrough, st["prev_pdf"], bs.pdf),
+        )
+        prev_delta = jnp.where(
+            med_scatter, jnp.zeros_like(bs.delta),
+            jnp.where(bs.null_passthrough, st["prev_delta"], bs.delta),
+        )
+        scattered = st["scattered"] | (do_scatter & (med_scatter | ~bs.null_passthrough))
+
+        # medium transition across transmissive surfaces
+        mid_new = st["medium"]
+        if True:
+            crossed = surf & (m.dot(wo, it.ng) * m.dot(-d_c, it.ng) < 0)
+            mid_new = jnp.where(
+                do_scatter & crossed,
+                _medium_transition(scene, it.shape, wo, it.ng, st["medium"]),
+                st["medium"],
+            )
+        eta_new = st["eta"] * jnp.where(do_scatter & surf, bs.eta, 1.0)
+
+        dead = jnp.sum(thr_new, axis=-1) <= 0
+        act2 = act & do_scatter & ~dead
+
+        # --- Russian roulette ---------------------------------------------
+        s, rr_blk = mrng.next_block4(s)
+        q = jnp.minimum(jnp.max(thr_new, axis=-1) * eta_new * eta_new, 0.95)
+        do_rr = depth >= cfg.rr_depth
+        kill = do_rr & (rr_blk[..., 0] >= q)
+        thr_new = jnp.where((do_rr & ~kill)[..., None],
+                            thr_new / jnp.maximum(q, 1e-6)[..., None], thr_new)
+        act2 = act2 & ~kill
+
+        return dict(
+            li=li, thr=thr_new, eta=eta_new, active=act2, scattered=scattered,
+            o=p_vert, d=wo, medium=mid_new,
+            prev_pdf=prev_pdf, prev_delta=prev_delta,
+            sampler=s,
+        )
+
+    body = bounce
+    if cfg.remat:
+        body = jax.checkpoint(bounce, prevent_cse=False)
+    state = jax.lax.fori_loop(0, n_iters, body, state)
+    return state["li"], state["sampler"]

@@ -38,6 +38,10 @@ def _integrator_fn(settings: RenderSettings):
             hide_emitters=ip.get("hide_emitters", False),
             strict_normals=ip.get("strict_normals", False),
         )
+        if name == "volpath":
+            from ..integrators.volpath import volpath_li
+
+            return lambda scene, s, o, d: volpath_li(scene, s, o, d, cfg)
         return lambda scene, s, o, d: path_li(scene, s, o, d, cfg)
     if name == "direct":
         return lambda scene, s, o, d: direct_li(

@@ -62,6 +62,7 @@ class SceneBuilder:
         self.shape_interior: list[int] = []
         self.shape_exterior: list[int] = []
         self.sensor: Sensor | None = None
+        self.camera_medium: int = INVALID
         self.settings = RenderSettings()
         self.ids: dict[str, object] = {}  # id -> bsdf index / texture index
 
@@ -190,15 +191,21 @@ class SceneBuilder:
             aspect=self.settings.width / max(self.settings.height, 1),
         )
 
+        from ..media.medium import build_media
+
         scene = Scene(
             geom=geom,
             bvh=bvh,
             bsdfs=bc.build_table(self.bsdf_records),
             textures=self.textures.build(),
             emitters=emitters,
+            media=build_media(self.media_records),
             sensor=sensor,
             shape_bsdf=jnp.asarray(self.shape_bsdf or [0], Int),
             shape_emitter=jnp.asarray(self.shape_emitter or [INVALID], Int),
+            shape_interior=jnp.asarray(self.shape_interior or [INVALID], Int),
+            shape_exterior=jnp.asarray(self.shape_exterior or [INVALID], Int),
             use_bvh=use_bvh,
+            camera_medium=self.camera_medium,
         )
         return scene, self.settings

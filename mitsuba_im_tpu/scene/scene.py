@@ -19,6 +19,7 @@ from ..bsdf.common import BSDFTable, LaneParams, resolve as bsdf_resolve
 from ..emitter.table import EmitterTable
 from ..sensor.table import Sensor
 from ..texture.texture import TextureTable
+from ..media.medium import MediumTable
 from .geometry import Geometry, Hit, Interaction, compute_interaction
 
 
@@ -29,10 +30,14 @@ class Scene:
     bsdfs: BSDFTable
     textures: TextureTable
     emitters: EmitterTable
+    media: MediumTable
     sensor: Sensor
     shape_bsdf: jax.Array  # (S,) int32
     shape_emitter: jax.Array  # (S,) int32
+    shape_interior: jax.Array  # (S,) int32 medium ids
+    shape_exterior: jax.Array  # (S,) int32
     use_bvh: bool = static_field(default=False)
+    camera_medium: int = static_field(default=-1)
 
     # -- queries (scene.h rayIntersect / isOccluded analogs) ---------------
     def ray_intersect(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:

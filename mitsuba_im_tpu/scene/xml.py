@@ -80,7 +80,14 @@ class SceneLoader:
                 sub = ET.parse(self._resolve_path(self._subst(el.get("filename")))).getroot()
                 self._load_scene_children(sub)
             elif tag in _PLUGIN_TAGS:
-                self._instantiate(el)
+                result = self._instantiate(el)
+                if tag == "emitter" and isinstance(result, dict):
+                    # standalone emitters (constant/envmap/point/...) register
+                    # directly; area emitters are attached by their shape
+                    from ..emitter.table import EM_AREA
+
+                    if result.get("type") != EM_AREA:
+                        self.builder.add_emitter(result)
             elif tag == "null":
                 continue
 
@@ -133,6 +140,10 @@ class SceneLoader:
                 self.ids[props.id] = (category, result)
         if category == "sensor":
             self.builder.sensor = result
+            for key in ("exterior", "medium"):
+                med = props.children.get(key)
+                if isinstance(med, dict) and "id" in med:
+                    self.builder.camera_medium = med["id"]
         if category == "shape" and el.tag == "shape" and ptype == "shapegroup":
             self.ids[props.id or "default"] = ("shapegroup", result)
         return result

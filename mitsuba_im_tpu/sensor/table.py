@@ -29,6 +29,7 @@ S_IRRADIANCEMETER = 6
 @pytree_dataclass
 class Sensor:
     to_world: jax.Array  # (4, 4)
+    to_camera: jax.Array  # (4, 4) world -> camera
     tan_x: jax.Array  # () tan(fov_x / 2)
     tan_y: jax.Array  # ()
     near: jax.Array
@@ -62,7 +63,8 @@ def make_sensor(stype: int, to_world: Transform, fov_deg: float = 45.0,
         tan_x, tan_y = t * aspect / d, t / d
     f = lambda x: jnp.asarray(x, Float)
     return Sensor(
-        to_world=f(to_world.m), tan_x=f(tan_x), tan_y=f(tan_y),
+        to_world=f(to_world.m), to_camera=f(to_world.inv),
+        tan_x=f(tan_x), tan_y=f(tan_y),
         near=f(near), far=f(far),
         aperture_radius=f(aperture_radius), focus_distance=f(focus_distance),
         scale_x=f(scale_x), scale_y=f(scale_y),
@@ -125,3 +127,32 @@ def sample_ray(sensor: Sensor, uv: jax.Array, u_lens: jax.Array):
     o = xform_point(sensor.to_world, o_cam)
     d = m.normalize(xform_vector(sensor.to_world, d_cam))
     return o, d, jnp.ones(uv.shape[:-1], Float)
+
+
+def connect(sensor: Sensor, p: jax.Array):
+    """Project world points onto the film (light-tracing connections).
+
+    Returns (uv in [0,1)^2, cam_pos world, dist, importance, valid) where
+    ``importance`` is the pinhole image-plane importance
+    W = 1 / (A_img * cos^3 theta) with A_img = 4 tan_x tan_y, so the
+    standard light-tracing estimator I_px = (W*H/N) sum thr * f * G * W
+    matches the camera-sampled estimate (Veach 8.2; ptracer.cpp capability).
+    Only perspective/thinlens-at-zero-aperture supported for now.
+    """
+    pc = xform_point(sensor.to_camera, p)
+    z = pc[..., 2]
+    valid = z > sensor.near
+    zs = jnp.where(valid, z, 1.0)
+    x_ndc = pc[..., 0] / zs
+    y_ndc = pc[..., 1] / zs
+    u = 0.5 * (1.0 - x_ndc / sensor.tan_x)
+    v = 0.5 * (1.0 - y_ndc / sensor.tan_y)
+    valid = valid & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    cam_world = sensor.to_world[:3, 3]
+    delta = p - cam_world
+    dist = jnp.sqrt(jnp.maximum(m.dot(delta, delta), 1e-20))
+    cos_theta = z / jnp.maximum(dist, 1e-12)
+    a_img = 4.0 * sensor.tan_x * sensor.tan_y
+    importance = 1.0 / jnp.maximum(a_img * cos_theta ** 3, 1e-12)
+    uv = jnp.stack([u, v], axis=-1)
+    return uv, jnp.broadcast_to(cam_world, p.shape), dist, importance, valid
