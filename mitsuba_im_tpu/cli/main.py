@@ -81,7 +81,8 @@ def main(argv=None) -> int:
             print(f"[load] {scene_path}: {scene.geom.n_tris} tris, "
                   f"{scene.emitters.n_emitters} emitters, "
                   f"{settings.width}x{settings.height}@{settings.spp}spp "
-                  f"integrator={settings.integrator} ({time.time()-t0:.2f}s)")
+                  f"integrator={settings.integrator} ({time.time()-t0:.2f}s)",
+                  flush=True)
 
         film = None
         start_spp = 0
@@ -112,7 +113,11 @@ def main(argv=None) -> int:
                 save_checkpoint(args.checkpoint, film_now, done + start_spp, settings)
 
         t1 = time.time()
-        if args.multichip:
+        if settings.integrator == "ptracer":
+            from ..render.job import render as _render
+
+            img = _render(scene, settings)
+        elif args.multichip:
             from ..parallel.mesh import make_mesh, render_sharded
 
             img = render_sharded(make_mesh(), scene, settings)
@@ -127,9 +132,10 @@ def main(argv=None) -> int:
             "renderer": "mitsuba_im_tpu",
         })
         if not args.quiet:
-            n_rays = settings.width * settings.height * settings.spp
+            n_paths = settings.width * settings.height * settings.spp
+            rate = n_paths / max(wall, 1e-9)
             print(f"\n[done] {out}  {wall:.2f}s "
-                  f"({n_rays / max(wall, 1e-9) / 1e6:.1f} Mpaths/s)")
+                  f"({rate / 1e6:.2f} Mpaths/s)", flush=True)
     return rc
 
 

@@ -10,7 +10,6 @@ import numpy as np
 
 from .exr import read_exr, write_exr
 from .png import read_png, write_png
-from ..core.spectrum import srgb_to_linear as _srgb_to_linear_np
 
 
 def load(path: str, gamma_correct: bool = True) -> np.ndarray:

@@ -96,8 +96,52 @@ def _render_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
 def render(scene: Scene, settings: RenderSettings,
            spp: int | None = None, progress_cb=None) -> np.ndarray:
     """Full render -> (H, W, 3) float32 numpy image."""
+    if settings.integrator == "ptracer":
+        return render_ptracer(scene, settings, spp=spp)
     film = render_film(scene, settings, spp=spp, progress_cb=progress_cb)
     return np.asarray(develop(film))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_particles", "cfg", "kind"),
+    donate_argnames=("film_data",),
+)
+def _ptracer_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
+                  n_particles, cfg, kind):
+    from ..integrators.ptracer import ptracer_splats
+    from ..film.film import F_BOX
+
+    pid = jnp.arange(n_particles, dtype=jnp.uint32)
+    sampler = mrng.make_sampler(pid, sample_idx, seed, kind=kind)
+    uvs, vals = ptracer_splats(scene, sampler, n_particles, cfg)
+    pos = uvs.reshape(-1, 2) * jnp.asarray([width, height], Float)
+    val = vals.reshape(-1, 3)
+    film = Film(data=film_data, width=width, height=height, ftype=F_BOX, radius=0.5)
+    film = splat(film, pos, val, active=jnp.sum(jnp.abs(val), axis=-1) > 0)
+    return film.data
+
+
+def render_ptracer(scene: Scene, settings: RenderSettings, spp: int | None = None):
+    """Light-traced image: N = W*H*spp particles, image-plane normalized."""
+    from ..integrators.path import PathConfig
+
+    spp = spp if spp is not None else settings.spp
+    ip = settings.integrator_props
+    cfg = PathConfig(max_depth=ip.get("max_depth", -1),
+                     rr_depth=ip.get("rr_depth", 5),
+                     depth_budget=min(ip.get("depth_budget", 8), 12))
+    W, H = settings.width, settings.height
+    n_particles = W * H
+    kind = KIND_BY_NAME.get(settings.sampler, mrng.INDEPENDENT)
+    data = jnp.zeros((H, W, 4), Float)
+    for s in range(spp):
+        data = _ptracer_pass(
+            scene, data, jnp.uint32(s), jnp.uint32(settings.seed),
+            width=W, height=H, n_particles=n_particles, cfg=cfg, kind=kind,
+        )
+    total = spp * n_particles
+    return np.asarray(data[..., :3]) * (W * H / total)
 
 
 def render_film(scene: Scene, settings: RenderSettings, spp: int | None = None,
@@ -128,9 +172,10 @@ def tonemap_ldr(img: np.ndarray, settings: RenderSettings) -> np.ndarray:
     """ldrfilm develop chain (films/ldrfilm.cpp): gamma or Reinhard."""
     img = np.asarray(img, np.float32) * (2.0 ** settings.exposure)
     if settings.tonemap == "reinhard":
-        from ..core.spectrum import luminance
-
-        lum = np.asarray(luminance(jnp.asarray(img)))
+        # numpy Rec.709 luminance (keep the tonemap chain jax-free so the
+        # mtsutil utilities never touch the TPU)
+        lum = (img[..., 0] * 0.212671 + img[..., 1] * 0.715160
+               + img[..., 2] * 0.072169)
         avg = np.exp(np.mean(np.log(np.maximum(lum, 1e-6))))
         scaled = img * (settings.key / max(avg, 1e-9))
         img = scaled / (1.0 + scaled)
