@@ -285,14 +285,23 @@ def intersect_bvh(bvh: FlatBVH, geom: Geometry, o, d, tmin, tmax, any_hit=False)
     return st  # raw dict; callers merge with analytic prims
 
 
-def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> Hit:
-    """Closest-hit entry point: picks brute-force or BVH for triangles and
-    always tests analytic prims."""
-    if bvh is None or geom.n_tris <= BRUTE_FORCE_MAX:
+def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
+              clusters=None) -> Hit:
+    """Closest-hit entry point: brute force for small soups; on big scenes
+    cluster marching (TPU) or the threaded BVH (CPU); analytic prims always
+    tested."""
+    if (bvh is None and clusters is None) or geom.n_tris <= BRUTE_FORCE_MAX:
         return intersect_brute(geom, o, d, tmin, tmax)
 
     R = o.shape[0]
-    st = intersect_bvh(bvh, geom, o, d, tmin, tmax)
+    if clusters is not None and _use_pallas():
+        from .cluster import intersect_clusters
+
+        sg = jax.lax.stop_gradient
+        st = intersect_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax))
+        st = dict(st, prim=st["prim"])
+    else:
+        st = intersect_bvh(bvh, geom, o, d, tmin, tmax)
     ti, tbest, tvalid = st["prim"], st["t"], st["found"]
     # recompute u,v from stored
     o_b = o[:, None, :]
@@ -333,9 +342,28 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> H
     )
 
 
-def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None) -> jax.Array:
+def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
+             clusters=None) -> jax.Array:
     """Any-hit (shadow ray) query -> bool per ray."""
     R = o.shape[0]
+    if clusters is not None and _use_pallas() and geom.n_tris > BRUTE_FORCE_MAX:
+        from .cluster import intersect_clusters
+
+        sg = jax.lax.stop_gradient
+        st = intersect_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
+                                any_hit=True)
+        blocked = st["found"]
+        o_b, d_b = o[:, None, :], d[:, None, :]
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))[:, None]
+        sh, _ = _sphere_test(
+            o_b, d_b, geom.sph_center[None], geom.sph_radius[None], tmin_b, tmax_b
+        )
+        dh, _ = _disk_test(
+            o_b, d_b, geom.disk_center[None], geom.disk_n[None], geom.disk_s[None],
+            geom.disk_t[None], geom.disk_radius[None], tmin_b, tmax_b,
+        )
+        return blocked | jnp.any(sh, axis=-1) | jnp.any(dh, axis=-1)
     if bvh is None or geom.n_tris <= BRUTE_FORCE_MAX:
         o_b, d_b = o[:, None, :], d[:, None, :]
         tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]

@@ -15,7 +15,7 @@ import numpy as np
 
 MAGIC = 20000630
 C_NONE, C_RLE, C_ZIPS, C_ZIP, C_PIZ, C_PXR24 = 0, 1, 2, 3, 4, 5
-_LINES_PER_BLOCK = {C_NONE: 1, C_RLE: 1, C_ZIPS: 1, C_ZIP: 16}
+_LINES_PER_BLOCK = {C_NONE: 1, C_RLE: 1, C_ZIPS: 1, C_ZIP: 16, C_PIZ: 32}
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _PT_DTYPE = {_PT_UINT: "<u4", _PT_HALF: "<f2", _PT_FLOAT: "<f4"}
 
@@ -105,7 +105,7 @@ def read_exr(path: str) -> tuple[np.ndarray, dict]:
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_BLOCK:
         raise NotImplementedError(
-            f"EXR compression {comp} (PIZ/PXR24/B44) not supported yet"
+            f"EXR compression {comp} (PXR24/B44/DWA) not supported yet"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     W, H = xmax - xmin + 1, ymax - ymin + 1
@@ -132,6 +132,11 @@ def read_exr(path: str) -> tuple[np.ndarray, dict]:
                 data = _unpredict_and_interleave(
                     np.frombuffer(_rle_decode(data, expect), np.uint8)
                 ).tobytes()
+        elif comp == C_PIZ:
+            if dsize < expect:
+                from .piz import piz_uncompress
+
+                data = piz_uncompress(data, channels, W, n_lines)
         p = 0
         for li in range(n_lines):
             for cname, pt in channels:

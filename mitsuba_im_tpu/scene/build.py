@@ -147,8 +147,16 @@ class SceneBuilder:
 
         geom = make_geometry(tri, sph, disk)
 
-        # BVH (built only when the soup is big enough to beat brute force)
+        # BVH + clusters (built only when the soup beats brute force)
         n_tris = geom.n_tris
+        clusters = None
+        if n_tris > BRUTE_FORCE_MAX:
+            from ..accel.cluster import build_clusters
+
+            clusters = build_clusters(
+                np.asarray(geom.tri_p0)[:n_tris], np.asarray(geom.tri_e1)[:n_tris],
+                np.asarray(geom.tri_e2)[:n_tris],
+            )
         if n_tris > BRUTE_FORCE_MAX:
             lo, hi = bvh_mod.tri_bounds(
                 np.asarray(geom.tri_p0), np.asarray(geom.tri_e1), np.asarray(geom.tri_e2)
@@ -200,6 +208,7 @@ class SceneBuilder:
             textures=self.textures.build(),
             emitters=emitters,
             media=build_media(self.media_records),
+            clusters=clusters,
             sensor=sensor,
             shape_bsdf=jnp.asarray(self.shape_bsdf or [0], Int),
             shape_emitter=jnp.asarray(self.shape_emitter or [INVALID], Int),

@@ -31,6 +31,7 @@ class Scene:
     textures: TextureTable
     emitters: EmitterTable
     media: MediumTable
+    clusters: object  # ClusterSet or None (big-scene TPU intersector)
     sensor: Sensor
     shape_bsdf: jax.Array  # (S,) int32
     shape_emitter: jax.Array  # (S,) int32
@@ -42,12 +43,14 @@ class Scene:
     # -- queries (scene.h rayIntersect / isOccluded analogs) ---------------
     def ray_intersect(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:
         return isect.intersect(
-            self.geom, o, d, tmin, tmax, bvh=self.bvh if self.use_bvh else None
+            self.geom, o, d, tmin, tmax,
+            bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
         )
 
     def occluded(self, o, d, tmin, tmax) -> jax.Array:
         return isect.occluded(
-            self.geom, o, d, tmin, tmax, bvh=self.bvh if self.use_bvh else None
+            self.geom, o, d, tmin, tmax,
+            bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
         )
 
     def interaction(self, o, d, hit: Hit) -> Interaction:
