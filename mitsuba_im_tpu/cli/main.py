@@ -113,7 +113,8 @@ def main(argv=None) -> int:
                 save_checkpoint(args.checkpoint, film_now, done + start_spp, settings)
 
         t1 = time.time()
-        if settings.integrator == "ptracer":
+        if settings.integrator in ("ptracer", "pssmlt", "erpt", "sppm",
+                                   "ppm", "bdpt", "vpl"):
             from ..render.job import render as _render
 
             img = _render(scene, settings)

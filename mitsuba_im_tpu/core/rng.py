@@ -73,6 +73,14 @@ class SamplerState:
     computed once at sampler creation; each draw re-hashes (base, dim).  This
     measurably decorrelates adjacent-dimension streams vs a single-level
     counter hash, at one PCG4D round per draw.
+
+    ``table`` mode (MCMC): when ``table`` is a (..., B, 4) float array, block
+    draws read ``table[..., dim // 4, :]`` instead of hashing — the sampler
+    becomes a deterministic function of an explicit *primary sample vector*,
+    which is what PSSMLT/ERPT mutate (the analog of the reference's
+    ``PSSMLTSampler``, ``src/integrators/pssmlt/pssmlt_sampler.h``).  Draws
+    past the table's end fall back to the hash (deterministic given
+    (pixel, sample, seed), so the path remains a pure function of the state).
     """
 
     pixel: jax.Array  # (...,) uint32 flattened pixel index
@@ -80,6 +88,7 @@ class SamplerState:
     base: jax.Array  # (..., 4) uint32 per-(pixel, sample, seed) state
     dim: jax.Array  # (...,) uint32 next dimension to consume
     seed: jax.Array  # () or (...,) uint32 global seed / scramble
+    table: jax.Array | None = None  # (..., B, 4) explicit primary samples
     kind: int = static_field(default=INDEPENDENT)
     spp: int = static_field(default=1)
 
@@ -201,6 +210,15 @@ def next_block4(s: SamplerState) -> tuple[SamplerState, jax.Array]:
         )
     )
     u = _to_unit_float(bits)
+    if s.table is not None:
+        blk = (dim >> 2).astype(jnp.int32)  # block index, lockstep per lane
+        n_blocks = s.table.shape[-2]
+        safe = jnp.minimum(blk, n_blocks - 1)
+        tab = jnp.take_along_axis(
+            s.table, safe[..., None, None], axis=-2
+        )[..., 0, :]
+        u = jnp.where((blk < n_blocks)[..., None], tab, u)
+        return s2.replace(dim=dim + U32(4)), u
     if s.kind == STRATIFIED:
         u = u.at[..., :2].set(_stratified_remap(s2, u[..., :2], dim))
     elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):

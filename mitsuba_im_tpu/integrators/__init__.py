@@ -110,17 +110,72 @@ def _irrcache(props: Properties, ctx=None):
     return nested
 
 
-def _fallback(name):
+@register("integrator", "pssmlt")
+def _pssmlt(props: Properties, ctx=None, _name="pssmlt"):
+    ip = _mc_props(props)
+    ip["p_large"] = props.get_float("pLarge", 0.3)
+    ip["n_chains"] = props.get_int("chains", 8192)
+    ip["burn_in"] = props.get_int("burnIn", 32)
+    return _set(ctx, _name, ip)
+
+
+@register("integrator", "mlt")
+def _mlt(props: Properties, ctx=None):
+    """Path-space MLT mapped onto the primary-sample ensemble engine
+    (integrators/pssmlt.py docstring explains the TPU-motivated reframe);
+    perturbation-dominated exploration via a lower large-step rate."""
+    ip = _mc_props(props)
+    ip["p_large"] = props.get_float("pLarge", 0.1)
+    ip["n_chains"] = props.get_int("chains", 8192)
+    ip["burn_in"] = props.get_int("burnIn", 64)
+    return _set(ctx, "pssmlt", ip)
+
+
+@register("integrator", "erpt")
+def _erpt(props: Properties, ctx=None):
+    ip = _mc_props(props)
+    ip["chain_length"] = props.get_int("chainLength", 100)
+    ip["chains_per_pixel"] = props.get_float("numChains", 1.0)
+    return _set(ctx, "erpt", ip)
+
+
+@register("integrator", "bdpt")
+def _bdpt(props: Properties, ctx=None):
+    ip = _mc_props(props)
+    ip["light_image"] = props.get_bool("lightImage", True)
+    return _set(ctx, "bdpt", ip)
+
+
+def _photon(name):
     @register("integrator", name)
     def make(props: Properties, ctx=None, _n=name):
-        warnings.warn(
-            f"integrator '{_n}' has no TPU kernel yet; falling back to 'path'"
-        )
-        return _set(ctx, "path", _mc_props(props))
+        ip = _mc_props(props)
+        ip["photon_count"] = props.get_int(
+            "photonCount", props.get_int("globalPhotons", 250000))
+        ip["initial_radius"] = props.get_float("initialRadius", 0.0)
+        ip["alpha"] = props.get_float("alpha", 0.7)
+        ip["lookup_radius_rel"] = props.get_float("globalLookupRadiusRelative", 0.05)
+        ip["iterations"] = props.get_int("maxPasses", -1)
+        return _set(ctx, _n if _n != "photonmapper" else "sppm", ip)
 
     return make
 
 
-for _n in ("bdpt", "mlt", "pssmlt", "erpt", "photonmapper", "ppm", "sppm",
-           "vpl", "motion"):
-    _fallback(_n)
+for _n in ("photonmapper", "ppm", "sppm"):
+    _photon(_n)
+
+
+@register("integrator", "vpl")
+def _vpl(props: Properties, ctx=None):
+    ip = dict(
+        max_depth=props.get_int("maxDepth", 5),
+        vpl_count=props.get_int("vplSamples", props.get_int("shadowMapResolution", 256)),
+        clamping=props.get_float("clamping", 0.1),
+    )
+    return _set(ctx, "vpl", ip)
+
+
+@register("integrator", "motion")
+def _motion(props: Properties, ctx=None):
+    ip = dict(time_delta=props.get_float("timeDelta", 1.0 / 24.0))
+    return _set(ctx, "motion", ip)

@@ -98,6 +98,26 @@ def render(scene: Scene, settings: RenderSettings,
     """Full render -> (H, W, 3) float32 numpy image."""
     if settings.integrator == "ptracer":
         return render_ptracer(scene, settings, spp=spp)
+    if settings.integrator == "pssmlt":
+        from ..integrators.pssmlt import render_pssmlt
+
+        return render_pssmlt(scene, settings, spp=spp, progress_cb=progress_cb)
+    if settings.integrator == "erpt":
+        from ..integrators.erpt import render_erpt
+
+        return render_erpt(scene, settings, spp=spp)
+    if settings.integrator in ("sppm", "ppm"):
+        from ..integrators.sppm import render_sppm
+
+        return render_sppm(scene, settings, spp=spp, progress_cb=progress_cb)
+    if settings.integrator == "bdpt":
+        from ..integrators.bdpt import render_bdpt
+
+        return render_bdpt(scene, settings, spp=spp, progress_cb=progress_cb)
+    if settings.integrator == "vpl":
+        from ..integrators.vpl import render_vpl
+
+        return render_vpl(scene, settings, spp=spp)
     film = render_film(scene, settings, spp=spp, progress_cb=progress_cb)
     return np.asarray(develop(film))
 
