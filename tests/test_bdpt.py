@@ -1,0 +1,90 @@
+"""BDPT cross-checks against the path tracer — the reference's de-facto
+integration test (``data/tests/test_bidir_*.xml``: different unbiased
+algorithms must converge to the same image, SURVEY.md §4 tier 4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    from __graft_entry__ import _tiny_cornell
+
+    scene, settings = _tiny_cornell()
+    settings.width = settings.height = 24
+    return scene, settings
+
+
+class TestBDPT:
+    @pytest.mark.parametrize("max_depth", [2, 4])
+    def test_matches_path_tracer(self, cornell, max_depth):
+        from mitsuba_im_tpu.render.job import render
+
+        scene, settings = cornell
+        settings.integrator = "path"
+        settings.integrator_props = {"max_depth": max_depth}
+        ref = render(scene, settings, spp=512)
+        settings.integrator = "bdpt"
+        settings.integrator_props = {"max_depth": max_depth}
+        img = render(scene, settings, spp=96)
+        assert not np.isnan(img).any()
+        assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
+        rel = np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
+        assert np.all(rel / ref.mean(axis=(0, 1)) < 0.08)
+
+    def test_specular_scene(self):
+        """Delta-BSDF vertices: MIS remapping must stay finite & unbiased."""
+        from mitsuba_im_tpu.render.job import render
+        import textwrap
+
+        xml = textwrap.dedent("""\
+        <scene version="0.6.0">
+            <integrator type="path"><integer name="maxDepth" value="5"/></integrator>
+            <sensor type="perspective">
+                <float name="fov" value="45"/>
+                <transform name="toWorld">
+                    <lookat origin="0, 1, 3.5" target="0, 1, 0" up="0, 1, 0"/>
+                </transform>
+                <film type="hdrfilm">
+                    <integer name="width" value="24"/>
+                    <integer name="height" value="24"/>
+                </film>
+            </sensor>
+            <shape type="rectangle">
+                <transform name="toWorld"><rotate x="1" angle="-90"/><scale value="2"/></transform>
+                <bsdf type="diffuse"><rgb name="reflectance" value="0.7 0.7 0.7"/></bsdf>
+            </shape>
+            <shape type="sphere">
+                <float name="radius" value="0.5"/>
+                <transform name="toWorld"><translate y="0.5"/></transform>
+                <bsdf type="conductor"/>
+            </shape>
+            <shape type="rectangle">
+                <transform name="toWorld"><rotate x="1" angle="90"/><scale value="0.4"/><translate y="3"/></transform>
+                <emitter type="area"><rgb name="radiance" value="10 10 10"/></emitter>
+            </shape>
+        </scene>
+        """)
+        scene, settings = _load(xml)
+        settings.integrator = "path"
+        settings.integrator_props = {"max_depth": 5}
+        ref = render(scene, settings, spp=512)
+        settings.integrator = "bdpt"
+        settings.integrator_props = {"max_depth": 5}
+        img = render(scene, settings, spp=96)
+        assert not np.isnan(img).any()
+        assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.08
+
+
+def _load(xml):
+    import tempfile, os as _os
+    from mitsuba_im_tpu.scene.xml import load_scene
+
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "s.xml")
+        with open(p, "w") as f:
+            f.write(xml)
+        return load_scene(p)
