@@ -126,3 +126,34 @@ def field_li(scene: Scene, sampler, o, d, field="position"):
     else:
         raise ValueError(f"unknown field '{field}'")
     return jnp.where(v, out, 0.0), sampler
+
+
+def motion_li(scene: Scene, sampler, o, d, prev_to_world=None,
+              width=1, height=1):
+    """Screen-space motion vectors (misc/motion.cpp analog).
+
+    The reference differentiates the film projection with forward-mode
+    autodiff (``core/autodiff.h``); here the previous-frame sensor pose is
+    evaluated from an AnimatedTransform (core/track.py) or an explicit
+    ``prev_to_world`` matrix and the hit point is re-projected — the motion
+    vector is the film-space displacement in pixels (R=dx, G=dy, B=depth).
+    """
+    import jax.numpy as jnp
+    from ..sensor.table import connect
+
+    hit = scene.ray_intersect(o, d)
+    it = scene.interaction(o, d, hit)
+    uv_now, _, _, _, ok_now = connect(scene.sensor, it.p)
+    if prev_to_world is None:
+        uv_prev, ok_prev = uv_now, ok_now
+    else:
+        m_prev = jnp.asarray(prev_to_world, Float)
+        inv_prev = jnp.linalg.inv(m_prev)
+        prev_sensor = scene.sensor.replace(to_world=m_prev,
+                                           to_camera=inv_prev)
+        uv_prev, _, _, _, ok_prev = connect(prev_sensor, it.p)
+    res = jnp.asarray([width, height], Float)
+    mv = (uv_now - uv_prev) * res
+    out = jnp.concatenate([mv, hit.t[..., None]], axis=-1)
+    v = (it.valid & ok_now & ok_prev)[..., None]
+    return jnp.where(v, out, 0.0), sampler

@@ -65,6 +65,7 @@ class RenderActor:
         self.controls = Controls()
         self._scene = scene
         self._pending_scene: Scene | None = None
+        self._pending_settings: RenderSettings | None = None
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._revision: FilmRevision | None = None
@@ -79,6 +80,13 @@ class RenderActor:
         boundary (the WorkLane::synchronized analog, scene.cpp:544-563)."""
         with self._lock:
             self._pending_scene = scene
+
+    def update_settings(self, settings: RenderSettings):
+        """Queue a settings swap (integrator/sampler/film reconfiguration —
+        the configurator Changes::apply analog, configurator.cpp:303-362).
+        Accumulation restarts at the next pass boundary."""
+        with self._lock:
+            self._pending_settings = settings
 
     def pause(self, value: bool = True):
         with self._cv:
@@ -127,6 +135,10 @@ class RenderActor:
                 if self._pending_scene is not None:
                     scene = self._pending_scene
                     self._pending_scene = None
+                    restart = True
+                if self._pending_settings is not None:
+                    self.settings = self._pending_settings
+                    self._pending_settings = None
                     restart = True
             if self.controls.abort:
                 break

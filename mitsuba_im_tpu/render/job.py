@@ -58,6 +58,16 @@ def _integrator_fn(settings: RenderSettings):
         )
     if name == "field":
         return lambda scene, s, o, d: field_li(scene, s, o, d, ip.get("field", "position"))
+    if name == "motion":
+        from ..integrators.simple import motion_li
+
+        prev = ip.get("prev_to_world", None)
+        if prev is None and ip.get("sensor_animation") is not None:
+            anim = ip["sensor_animation"]  # core.track.AnimatedTransform
+            prev = anim.eval(-ip.get("time_delta", 1.0 / 24.0)).m
+        return lambda scene, s, o, d: motion_li(
+            scene, s, o, d, prev_to_world=prev,
+            width=settings.width, height=settings.height)
     if name == "adaptive":
         nested = dict(ip.get("nested", {"name": "path"}))
         sub = RenderSettings(integrator=nested.pop("name", "path"), integrator_props=nested)
