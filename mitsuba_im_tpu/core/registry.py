@@ -103,5 +103,6 @@ def _ensure_loaded():
         "mitsuba_im_tpu.scene.shapes",
         "mitsuba_im_tpu.media",
         "mitsuba_im_tpu.integrators",
+        "mitsuba_im_tpu.subsurface",
     ):
         importlib.import_module(mod)

@@ -88,6 +88,16 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
             _fake_it(st)
         )
 
+        # --- subsurface scattering (its.LoSub analog) ----------------------
+        st_li0 = st["li"]
+        if scene.subsurface is not None:
+            from ..subsurface import eval_lo
+
+            ss_id = scene.subsurface_at(st["shape"], act)
+            lo_sub = eval_lo(scene.subsurface, st["p"],
+                             jnp.abs(st["wi_local"][..., 2]), ss_id)
+            st_li0 = st_li0 + jnp.where(act[..., None], st["thr"] * lo_sub, 0.0)
+
         # --- next-event estimation (sampleEmitterDirect, path.cpp:176) ----
         s, nee_blk = mrng.next_block4(s)
         ds = em.sample_direct(
@@ -103,7 +113,7 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         )
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_bsdf_nee))
         contrib = st["thr"] * ds.value * f_nee * m.safe_div(w_nee, ds.pdf)[..., None]
-        st_li = st["li"] + jnp.where((can_nee & ~occ)[..., None], contrib, 0.0)
+        st_li = st_li0 + jnp.where((can_nee & ~occ)[..., None], contrib, 0.0)
 
         # --- BSDF sampling (path.cpp:211) ---------------------------------
         s, bsdf_blk = mrng.next_block4(s)

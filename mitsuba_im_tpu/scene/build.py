@@ -61,6 +61,8 @@ class SceneBuilder:
         self.shape_emitter: list[int] = []
         self.shape_interior: list[int] = []
         self.shape_exterior: list[int] = []
+        self.subsurface_records: list[dict] = []
+        self.shape_subsurface: list[int] = []
         self.sensor: Sensor | None = None
         self.camera_medium: int = INVALID
         self.settings = RenderSettings()
@@ -76,12 +78,18 @@ class SceneBuilder:
         return self.add_bsdf(rec)
 
     def new_shape(self, bsdf_id: int, emitter_id: int = INVALID,
-                  interior: int = INVALID, exterior: int = INVALID) -> int:
+                  interior: int = INVALID, exterior: int = INVALID,
+                  subsurface: int = INVALID) -> int:
         self.shape_bsdf.append(bsdf_id)
         self.shape_emitter.append(emitter_id)
         self.shape_interior.append(interior)
         self.shape_exterior.append(exterior)
+        self.shape_subsurface.append(subsurface)
         return len(self.shape_bsdf) - 1
+
+    def add_subsurface(self, record: dict) -> int:
+        self.subsurface_records.append(record)
+        return len(self.subsurface_records) - 1
 
     def add_trimesh(self, mesh: TriMesh, shape_id: int, face_normals=False):
         p = np.asarray(mesh.positions, np.float64)
@@ -214,7 +222,13 @@ class SceneBuilder:
             shape_emitter=jnp.asarray(self.shape_emitter or [INVALID], Int),
             shape_interior=jnp.asarray(self.shape_interior or [INVALID], Int),
             shape_exterior=jnp.asarray(self.shape_exterior or [INVALID], Int),
+            shape_subsurface=jnp.asarray(self.shape_subsurface or [INVALID], Int),
             use_bvh=use_bvh,
             camera_medium=self.camera_medium,
         )
+        if self.subsurface_records:
+            from ..subsurface import build_subsurface
+
+            sub = build_subsurface(self.subsurface_records, self, scene)
+            scene = scene.replace(subsurface=sub)
         return scene, self.settings

@@ -37,6 +37,8 @@ class Scene:
     shape_emitter: jax.Array  # (S,) int32
     shape_interior: jax.Array  # (S,) int32 medium ids
     shape_exterior: jax.Array  # (S,) int32
+    shape_subsurface: jax.Array | None = None  # (S,) int32 subsurface ids
+    subsurface: object = None  # SubsurfaceTable or None
     use_bvh: bool = static_field(default=False)
     camera_medium: int = static_field(default=-1)
 
@@ -69,3 +71,12 @@ class Scene:
         sid = jnp.where(it.shape == INVALID, 0, it.shape)
         return jnp.where(it.shape == INVALID, INVALID,
                          gather_rows(self.shape_emitter, sid))
+
+    def subsurface_at(self, shape_id, valid) -> jax.Array:
+        from ..core.gather import gather_rows
+
+        if self.shape_subsurface is None:
+            return jnp.full(shape_id.shape, INVALID, Int)
+        sid = jnp.where(valid, shape_id, 0)
+        return jnp.where(valid, gather_rows(self.shape_subsurface, sid),
+                         INVALID)

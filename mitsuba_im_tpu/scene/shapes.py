@@ -19,7 +19,7 @@ from .mesh import TriMesh
 
 
 def _shape_common(props: Properties, ctx):
-    """Resolve bsdf/emitter/medium children."""
+    """Resolve bsdf/emitter/medium/subsurface children."""
     b = props.children.get("bsdf")
     if isinstance(b, dict):
         bsdf_id = ctx.add_bsdf(b)
@@ -35,7 +35,15 @@ def _shape_common(props: Properties, ctx):
             return rec["id"]
         return INVALID
 
-    return bsdf_id, em_rec, medium_id("interior"), medium_id("exterior")
+    ss = props.children.get("subsurface")
+    if isinstance(ss, dict):
+        ss_id = ctx.add_subsurface(ss)
+    elif isinstance(ss, (int, np.integer)):
+        ss_id = int(ss)
+    else:
+        ss_id = INVALID
+
+    return bsdf_id, em_rec, medium_id("interior"), medium_id("exterior"), ss_id
 
 
 def _attach_area_emitter(ctx, em_rec, shape_id, kind, prim=0, surface_area=1.0):
@@ -59,8 +67,8 @@ def _finish_mesh(props, ctx, mesh: TriMesh):
         mesh.indices = mesh.indices[:, [0, 2, 1]]
         if mesh.normals is not None:
             mesh.normals = -mesh.normals
-    bsdf_id, em_rec, mi, me = _shape_common(props, ctx)
-    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me)
+    bsdf_id, em_rec, mi, me, ss_id = _shape_common(props, ctx)
+    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me, subsurface=ss_id)
     ctx.add_trimesh(mesh, sid, face_normals=face_normals)
     if em_rec is not None:
         area = float(mesh.surface_areas().sum())
@@ -105,8 +113,8 @@ def _sphere(props: Properties, ctx=None):
     # uniform scale support: take the average axis scale
     scale = np.linalg.norm(to_world.m[:3, :3], axis=0).mean()
     radius = float(radius * scale)
-    bsdf_id, em_rec, mi, me = _shape_common(props, ctx)
-    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me)
+    bsdf_id, em_rec, mi, me, ss_id = _shape_common(props, ctx)
+    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me, subsurface=ss_id)
     prim = ctx.add_sphere(center, radius, sid)
     if em_rec is not None:
         _attach_area_emitter(
@@ -129,8 +137,8 @@ def _disk(props: Properties, ctx=None):
         n = -n
     s_u = s_axis / max(np.linalg.norm(s_axis), 1e-12)
     t_u = np.cross(n, s_u)
-    bsdf_id, em_rec, mi, me = _shape_common(props, ctx)
-    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me)
+    bsdf_id, em_rec, mi, me, ss_id = _shape_common(props, ctx)
+    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me, subsurface=ss_id)
     prim = ctx.add_disk(c, n, s_u, t_u, radius, sid)
     if em_rec is not None:
         _attach_area_emitter(
