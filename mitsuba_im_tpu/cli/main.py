@@ -41,6 +41,14 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="resume from a checkpoint file")
     ap.add_argument("-m", dest="multichip", action="store_true",
                     help="shard the render across all visible devices")
+    ap.add_argument("--nodes", dest="nodes", default=None,
+                    help="semicolon-separated render nodes: host[:port] or "
+                         "'exec:CMD' (e.g. exec:ssh host python -m "
+                         "mitsuba_im_tpu.cli.mtssrv -ls); the -c cluster "
+                         "flag analog (mitsuba.cpp:71-73)")
+    ap.add_argument("--local-worker", dest="local_worker",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="with --nodes: also render on this process")
     ap.add_argument("-q", dest="quiet", action="store_true")
     ap.add_argument("-v", dest="verbose", action="store_true")
     ap.add_argument("--width", type=int, default=None)
@@ -113,8 +121,16 @@ def main(argv=None) -> int:
                 save_checkpoint(args.checkpoint, film_now, done + start_spp, settings)
 
         t1 = time.time()
-        if settings.integrator in ("ptracer", "pssmlt", "erpt", "sppm",
-                                   "ppm", "bdpt", "vpl"):
+        if args.nodes:
+            from ..parallel.remote import render_distributed
+
+            img = render_distributed(
+                scene, settings, args.nodes.split(";"),
+                include_local=args.local_worker,
+                log=(lambda *_: None) if args.quiet else
+                    (lambda *a: print(*a, flush=True)))
+        elif settings.integrator in ("ptracer", "pssmlt", "erpt", "sppm",
+                                     "ppm", "bdpt", "vpl"):
             from ..render.job import render as _render
 
             img = _render(scene, settings)
