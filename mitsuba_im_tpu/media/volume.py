@@ -1,0 +1,98 @@
+"""Volume data sources: Mitsuba ``.vol`` grids + constant volumes.
+
+Implements the binary layout documented in the reference
+(``/root/reference/src/volume/gridvolume.cpp:56-84``): bytes 0-2 ``VOL``,
+byte 3 version (3), int32 encoding (1=float32, 2=float16, 3=uint8),
+int32 xres/yres/zres, int32 channels (1 or 3), 6x float32 data AABB,
+then row-major samples indexed ``((z*yres+y)*xres+x)*channels+chan``.
+Little-endian throughout.
+
+World->grid mapping follows ``gridvolume.cpp:189-195``: the data AABB is
+mapped onto voxel coordinates ``[0, res-1]`` per axis and values are
+trilinearly interpolated; lookups outside the AABB return zero.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ENC_FLOAT32 = 1
+ENC_FLOAT16 = 2
+ENC_UINT8 = 3
+ENC_QUANT8 = 4  # quantized directions; not supported
+
+
+def read_vol(path: str) -> dict:
+    """Parse a ``.vol`` file -> dict(data (Z,Y,X,C) f32, bmin, bmax)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:3] != b"VOL":
+        raise ValueError(f"{path}: not a .vol file")
+    version = raw[3]
+    if version != 3:
+        raise ValueError(f"{path}: unsupported .vol version {version}")
+    enc, xres, yres, zres, channels = struct.unpack_from("<5i", raw, 4)
+    bbox = struct.unpack_from("<6f", raw, 24)
+    n = xres * yres * zres * channels
+    if enc == ENC_FLOAT32:
+        data = np.frombuffer(raw, dtype="<f4", count=n, offset=48)
+    elif enc == ENC_FLOAT16:
+        data = np.frombuffer(raw, dtype="<f2", count=n, offset=48).astype(np.float32)
+    elif enc == ENC_UINT8:
+        data = np.frombuffer(raw, dtype=np.uint8, count=n, offset=48).astype(np.float32) / 255.0
+    else:
+        raise ValueError(f"{path}: unsupported .vol encoding {enc}")
+    data = np.ascontiguousarray(data, np.float32).reshape(zres, yres, xres, channels)
+    return dict(
+        data=data,
+        bmin=np.asarray(bbox[:3], np.float64),
+        bmax=np.asarray(bbox[3:], np.float64),
+    )
+
+
+def write_vol(path: str, data: np.ndarray, bmin, bmax) -> None:
+    """Write (Z,Y,X) or (Z,Y,X,C) float32 data as a version-3 ``.vol``."""
+    d = np.asarray(data, np.float32)
+    if d.ndim == 3:
+        d = d[..., None]
+    zres, yres, xres, channels = d.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL" + bytes([3]))
+        f.write(struct.pack("<5i", ENC_FLOAT32, xres, yres, zres, channels))
+        f.write(struct.pack("<6f", *np.asarray(bmin, np.float64),
+                            *np.asarray(bmax, np.float64)))
+        f.write(np.ascontiguousarray(d, "<f4").tobytes())
+
+
+def const_grid(value) -> dict:
+    """A 1x1x1 grid spanning an unbounded-ish AABB (constvolume analog)."""
+    v = np.atleast_1d(np.asarray(value, np.float32))
+    return dict(
+        data=v.reshape(1, 1, 1, v.size).astype(np.float32),
+        bmin=np.full(3, -1e30),
+        bmax=np.full(3, 1e30),
+        const=True,
+    )
+
+
+def grid_world_to_voxel(rec: dict) -> np.ndarray:
+    """4x4 affine mapping world points to voxel coords [0, res-1]^3.
+
+    Composition per gridvolume.cpp:189-195: worldToVolume (inverse of the
+    record's ``to_world``), translate(-bmin), scale((res-1)/extent).
+    """
+    data = rec["data"]
+    zres, yres, xres, _ = data.shape
+    bmin = np.asarray(rec["bmin"], np.float64)
+    bmax = np.asarray(rec["bmax"], np.float64)
+    extent = np.maximum(bmax - bmin, 1e-30)
+    res = np.asarray([xres, yres, zres], np.float64)
+    scale = np.where(res > 1, (res - 1) / extent, 0.0)
+    m = np.eye(4)
+    m[:3, :3] = np.diag(scale)
+    m[:3, 3] = -bmin * scale
+    w2v = rec.get("world_to_volume")
+    if w2v is not None:
+        m = m @ np.asarray(w2v, np.float64)
+    return m
