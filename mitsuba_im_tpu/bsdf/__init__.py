@@ -223,51 +223,115 @@ def _mask(props: Properties, ctx=None):
     return rec
 
 
+def _nested_id(ctx, rec):
+    if isinstance(rec, (int, np.integer)):
+        return int(rec)
+    return ctx.add_bsdf(rec if isinstance(rec, dict) else bc.default_record())
+
+
+def _blend_record(ctx, rec_a, rec_b, weight, weight_tex=-1):
+    """One BLEND table row selecting rec_b with probability ``weight``."""
+    out = bc.default_record()
+    out["type"] = bc.BLEND
+    out["weight"] = float(np.clip(weight, 0.0, 1.0))
+    out["weight_tex"] = weight_tex
+    if ctx is not None:
+        out["nested"] = _nested_id(ctx, rec_a)
+        out["nested2"] = _nested_id(ctx, rec_b)
+    return out
+
+
 @register("bsdf", "blendbsdf")
 def _blend(props: Properties, ctx=None):
-    """Blend of two BSDFs; current build folds to the higher-weight side
-    (stochastic per-lane blend planned)."""
+    """blendbsdf.cpp: convex combination of two nested BSDFs; realized as
+    per-vertex stochastic component selection (see bsdf.common.resolve)."""
     w = props.get_float("weight", 0.5)
+    wtex = props.children.get("weight", -1)
+    if not isinstance(wtex, (int, np.integer)):
+        wtex = -1
     inners = props.children.get("bsdf_list", [])
     if len(inners) >= 2:
-        rec = dict(inners[0] if w < 0.5 else inners[1])
-    elif inners:
-        rec = dict(inners[0])
-    else:
-        rec = bc.default_record()
-    return rec
+        return _blend_record(ctx, inners[0], inners[1], w, int(wtex))
+    if inners:
+        return dict(inners[0])
+    return bc.default_record()
 
 
 @register("bsdf", "mixturebsdf")
 def _mixture(props: Properties, ctx=None):
+    """mixturebsdf.cpp: N-way weighted mixture, folded into a binary tree of
+    BLEND rows (each level stochastically selects one side).  Weight deficit
+    (sum < 1) blends against a black absorber like the reference's implicit
+    scale."""
     weights = [float(x) for x in props.get_string("weights", "1").split(",")]
     inners = props.children.get("bsdf_list", [])
-    if inners:
-        rec = dict(inners[int(np.argmax(weights[: len(inners)]))])
-    else:
-        rec = bc.default_record()
+    if not inners:
+        return bc.default_record()
+    if len(inners) == 1:
+        return dict(inners[0])
+    weights = weights[: len(inners)] + [1.0] * (len(inners) - len(weights))
+    total = sum(weights)
+    acc = dict(inners[0])
+    acc_w = weights[0]
+    for nxt, w_n in zip(inners[1:], weights[1:]):
+        acc = _blend_record(ctx, acc, nxt,
+                            w_n / max(acc_w + w_n, 1e-8))
+        acc_w += w_n
+    if total < 0.999:  # remaining probability absorbs
+        black = bc.default_record()
+        black["refl"] = np.zeros(3)
+        acc = _blend_record(ctx, black, acc, total)
+    return acc
+
+
+def _wrap_bump(props: Properties, ctx, kind):
+    inner = props.children.get("bsdf")
+    rec = dict(inner) if isinstance(inner, dict) else bc.default_record()
+    tex = props.children.get("texture",
+                             props.children.get("map",
+                                                props.children.get("normals")))
+    if isinstance(tex, (int, np.integer)):
+        rec["bump_tex"] = int(tex)
+        rec["bump_kind"] = kind
+        rec["bump_scale"] = props.get_float("scale", 1.0)
     return rec
 
 
 @register("bsdf", "bumpmap")
 def _bumpmap(props: Properties, ctx=None):
-    """Bump mapping currently passes through the nested BSDF (frame
-    perturbation planned)."""
-    inner = props.children.get("bsdf")
-    return dict(inner) if isinstance(inner, dict) else bc.default_record()
+    """bumpmap.cpp: height-texture gradient tilts the shading frame
+    (applied in Scene.interaction so every integrator inherits it)."""
+    return _wrap_bump(props, ctx, bc.BUMP_HEIGHT)
 
 
 @register("bsdf", "normalmap")
 def _normalmap(props: Properties, ctx=None):
-    inner = props.children.get("bsdf")
-    return dict(inner) if isinstance(inner, dict) else bc.default_record()
+    """normalmap.cpp: tangent-space normal texture replaces the frame."""
+    return _wrap_bump(props, ctx, bc.BUMP_NORMAL)
 
 
 @register("bsdf", "hk")
 def _hk(props: Properties, ctx=None):
-    """Hanrahan-Krueger: thin slab approximation -> difftrans + diffuse mix."""
+    """hk.cpp (Hanrahan-Krueger): single scattering in a thin slab with an
+    attenuated delta transmission.  Stores albedo rgb in ``refl``, optical
+    depth tau rgb in ``trans``, HG asymmetry in ``alpha_u``."""
     rec = bc.default_record()
-    rec["type"] = bc.DIFFTRANS
+    rec["type"] = bc.HK
+    thickness = props.get_float("thickness", 1.0)
+    if "sigmaS" in props or "sigmaA" in props:
+        s = props.get_spectrum("sigmaS", np.full(3, 2.0))
+        a = props.get_spectrum("sigmaA", np.full(3, 0.05))
+    elif "sigmaT" in props:
+        st = props.get_spectrum("sigmaT")
+        al = props.get_spectrum("albedo", np.full(3, 0.8))
+        s, a = st * al, st * (1 - al)
+    else:
+        s, a = np.full(3, 2.0), np.full(3, 0.05)
+    st = np.maximum(np.asarray(s) + np.asarray(a), 1e-8)
+    rec["refl"] = np.asarray(s) / st  # single-scattering albedo
+    rec["trans"] = st * thickness  # optical depth tau
+    phase = props.children.get("phase", dict(g=0.0))
+    rec["alpha_u"] = rec["alpha_v"] = float(phase.get("g", 0.0)) if isinstance(phase, dict) else 0.0
     return rec
 
 

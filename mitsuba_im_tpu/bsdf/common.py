@@ -35,6 +35,7 @@ COATING = 13
 MASK = 14
 BLEND = 15
 BUMPMAP_WRAP = 16  # handled at resolve level
+HK = 17
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse", ROUGHDIFFUSE: "roughdiffuse", CONDUCTOR: "conductor",
@@ -42,8 +43,13 @@ TYPE_NAMES = {
     THINDIELECTRIC: "thindielectric", ROUGHDIELECTRIC: "roughdielectric",
     PLASTIC: "plastic", ROUGHPLASTIC: "roughplastic", PHONG: "phong",
     WARD: "ward", NULL_BSDF: "null", DIFFTRANS: "difftrans",
-    MASK: "mask", BLEND: "blendbsdf",
+    MASK: "mask", BLEND: "blendbsdf", HK: "hk",
 }
+
+# Frame-perturbation kinds (bumpmap.cpp / normalmap.cpp wrappers)
+BUMP_NONE = 0
+BUMP_HEIGHT = 1
+BUMP_NORMAL = 2
 
 # Delta-only types (no smooth component -> skip NEE at these vertices)
 DELTA_TYPES = (CONDUCTOR, DIELECTRIC, THINDIELECTRIC, NULL_BSDF)
@@ -73,8 +79,14 @@ class BSDFTable:
     flags: jax.Array  # (B,) int32 (twosided etc.)
     nested: jax.Array  # (B,) int32 nested bsdf id (mask/blend)
     nested2: jax.Array  # (B,) int32 second nested (blend)
+    weight: jax.Array  # (B,) blend weight toward nested2
     weight_tex: jax.Array  # (B,) int32 blend weight texture
+    bump_tex: jax.Array  # (B,) int32 height/normal texture
+    bump_kind: jax.Array  # (B,) int32 BUMP_*
+    bump_scale: jax.Array  # (B,)
     used_types: tuple = static_field(default=(DIFFUSE,))
+    unwrap_depth: int = static_field(default=0)
+    has_bump: bool = static_field(default=False)
 
     @property
     def n(self):
@@ -91,13 +103,24 @@ def default_record() -> dict:
         alpha_u=0.1, alpha_v=0.1, alpha_tex=INVALID,
         exponent=30.0,
         opacity=np.full(3, 0.5), opacity_tex=INVALID,
-        flags=0, nested=INVALID, nested2=INVALID, weight_tex=INVALID,
+        flags=0, nested=INVALID, nested2=INVALID,
+        weight=0.5, weight_tex=INVALID,
+        bump_tex=INVALID, bump_kind=BUMP_NONE, bump_scale=1.0,
     )
 
 
 def build_table(records: list[dict]) -> BSDFTable:
     recs = records or [default_record()]
     g = lambda k, dt: jnp.asarray(np.stack([np.asarray(r[k]) for r in recs]), dt)
+    types = {int(r["type"]) for r in recs}
+    # static unwrap budget: BLEND chains (mixturebsdf trees) may stack a few
+    # levels deep, possibly over MASK wrappers; plain scenes skip the pass
+    if BLEND in types:
+        depth = 4
+    elif MASK in types:
+        depth = 1
+    else:
+        depth = 0
     return BSDFTable(
         type=g("type", Int), dist=g("dist", Int),
         refl=g("refl", Float), refl_tex=g("refl_tex", Int),
@@ -108,8 +131,12 @@ def build_table(records: list[dict]) -> BSDFTable:
         alpha_tex=g("alpha_tex", Int), exponent=g("exponent", Float),
         opacity=g("opacity", Float), opacity_tex=g("opacity_tex", Int),
         flags=g("flags", Int), nested=g("nested", Int), nested2=g("nested2", Int),
-        weight_tex=g("weight_tex", Int),
-        used_types=tuple(sorted({int(r["type"]) for r in recs})),
+        weight=g("weight", Float), weight_tex=g("weight_tex", Int),
+        bump_tex=g("bump_tex", Int), bump_kind=g("bump_kind", Int),
+        bump_scale=g("bump_scale", Float),
+        used_types=tuple(sorted(types)),
+        unwrap_depth=depth,
+        has_bump=any(int(r.get("bump_kind", BUMP_NONE)) != BUMP_NONE for r in recs),
     )
 
 
@@ -133,10 +160,24 @@ class LaneParams:
     used_types: tuple = static_field(default=(DIFFUSE,))
 
 
+def _hash_uniform(uv: jax.Array) -> jax.Array:
+    """Fallback per-lane uniform derived from the uv bit pattern — used when
+    the caller has no sampler at hand (decorrelates across shading points)."""
+    from ..core import rng as mrng
+
+    bits = jax.lax.bitcast_convert_type(uv.astype(jnp.float32), jnp.uint32)
+    h = mrng.hash_u32(bits[..., 0], bits[..., 1])
+    return (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
 def resolve(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
-            uv: jax.Array) -> LaneParams:
-    """Gather per-lane parameters; resolves MASK/twosided wrappers one level
-    (a MASK lane carries its nested bsdf's params + the opacity value).
+            uv: jax.Array, u_sel: jax.Array | None = None) -> LaneParams:
+    """Gather per-lane parameters; iteratively resolves MASK and BLEND
+    wrappers (a MASK lane carries its nested bsdf's params + the opacity
+    value; a BLEND/mixture lane stochastically selects one component per
+    shading vertex with probability = blend weight, which is an unbiased
+    estimator of the mixture by linearity of transport — blendbsdf.cpp
+    evaluates the convex combination deterministically instead).
 
     All table columns ride in ONE bundled row lookup (select chain on small
     tables) — per-column dynamic gathers are pathologically slow on TPU.
@@ -144,18 +185,37 @@ def resolve(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
     from ..core.gather import RowBundle
 
     bid = jnp.where(bsdf_id == INVALID, 0, bsdf_id)
-
-    # pass 1: wrapper-level fields to unwrap MASK lanes
-    w = (
-        RowBundle()
-        .add("type", table.type).add("nested", table.nested)
-        .add("opacity", table.opacity).add("opacity_tex", table.opacity_tex)
-    ).lookup(bid)
-    is_mask = w["type"] == MASK
-    opacity = eval_texture(tex, w["opacity_tex"], uv, w["opacity"])
-    op_scalar = jnp.clip(jnp.mean(opacity, axis=-1), 0.0, 1.0)
-    op_scalar = jnp.where(is_mask, op_scalar, 1.0)
-    bid = jnp.where(is_mask & (w["nested"] != INVALID), w["nested"], bid)
+    op_scalar = jnp.ones(bid.shape, Float)
+    if table.unwrap_depth > 0:
+        u = u_sel if u_sel is not None else _hash_uniform(uv)
+        for _ in range(table.unwrap_depth):
+            w = (
+                RowBundle()
+                .add("type", table.type).add("nested", table.nested)
+                .add("nested2", table.nested2).add("weight", table.weight)
+                .add("weight_tex", table.weight_tex)
+                .add("opacity", table.opacity).add("opacity_tex", table.opacity_tex)
+            ).lookup(bid)
+            is_mask = w["type"] == MASK
+            is_blend = w["type"] == BLEND
+            opacity = eval_texture(tex, w["opacity_tex"], uv, w["opacity"])
+            op = jnp.clip(jnp.mean(opacity, axis=-1), 0.0, 1.0)
+            op_scalar = op_scalar * jnp.where(is_mask, op, 1.0)
+            bid = jnp.where(is_mask & (w["nested"] != INVALID), w["nested"], bid)
+            if BLEND in table.used_types:
+                wgt_rgb = eval_texture(tex, w["weight_tex"], uv,
+                                       w["weight"][..., None] * jnp.ones(3))
+                wgt = jnp.clip(jnp.mean(wgt_rgb, axis=-1), 0.0, 1.0)
+                pick2 = u < wgt
+                bid = jnp.where(is_blend,
+                                jnp.where(pick2, w["nested2"], w["nested"]), bid)
+                # sample reuse: rescale u so deeper blend levels see a fresh
+                # uniform (Sampler sampleReuse pattern)
+                u_re = jnp.where(pick2,
+                                 u / jnp.maximum(wgt, 1e-8),
+                                 (u - wgt) / jnp.maximum(1.0 - wgt, 1e-8))
+                u = jnp.where(is_blend, jnp.clip(u_re, 0.0, 0.999999), u)
+            bid = jnp.where(bid == INVALID, 0, bid)
 
     # pass 2: full parameter bundle at the (possibly unwrapped) id
     r = (

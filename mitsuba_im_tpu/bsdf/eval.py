@@ -22,7 +22,7 @@ from ..core import warp
 from .common import (
     LaneParams, DIFFUSE, ROUGHDIFFUSE, CONDUCTOR, ROUGHCONDUCTOR, DIELECTRIC,
     THINDIELECTRIC, ROUGHDIELECTRIC, PLASTIC, ROUGHPLASTIC, PHONG, WARD,
-    NULL_BSDF, DIFFTRANS, FLAG_TWOSIDED,
+    NULL_BSDF, DIFFTRANS, HK, FLAG_TWOSIDED,
 )
 from .fresnel import fresnel_dielectric, fresnel_conductor, fresnel_diffuse_reflectance
 from . import microfacet as mf
@@ -309,6 +309,51 @@ def _pdf_difftrans(p, wi, wo):
     return jnp.where(opposite, Frame.abs_cos_theta(wo) * INV_PI, 0.0)
 
 
+def _hg_phase(g, cos_t):
+    denom = 1.0 + g * g - 2.0 * g * cos_t
+    return (0.25 * INV_PI) * (1.0 - g * g) / jnp.maximum(
+        denom * safe_sqrt(denom), 1e-8)
+
+
+def _hk_pdelta(p, ci):
+    """Probability of the attenuated straight-through delta lobe."""
+    att = jnp.exp(-p.trans / jnp.maximum(ci, 1e-4)[..., None])
+    return jnp.clip(jnp.mean(att, axis=-1), 0.0, 0.95)
+
+
+def _eval_hk(p, wi, wo):
+    """src/bsdfs/hk.cpp (Hanrahan-Krueger 1993): single scattering in a slab
+    of optical depth tau (p.trans) with single-scattering albedo (p.refl) and
+    HG phase (g = p.alpha_u).  Smooth reflection + transmission terms; the
+    attenuated delta transmission is handled in sampling only."""
+    ci = jnp.maximum(Frame.abs_cos_theta(wi), 1e-4)
+    co = jnp.maximum(Frame.abs_cos_theta(wo), 1e-4)
+    same = Frame.cos_theta(wi) * Frame.cos_theta(wo) > 0
+    tau = p.trans
+    ph = _hg_phase(p.alpha_u, -m.dot(wi, wo))[..., None]
+
+    # reflection: alpha*p/(ci+co) * (1 - e^{-tau(1/ci+1/co)})
+    fr = p.refl * ph * (1.0 - jnp.exp(-tau * (1.0 / ci + 1.0 / co)[..., None])) \
+        / (ci + co)[..., None]
+
+    # transmission: alpha*p*(e^{-tau/ci} - e^{-tau/co})/(ci - co), with the
+    # ci -> co limit alpha*p*tau/ci^2 e^{-tau/ci}
+    dm = (ci - co)[..., None]
+    ft_reg = (jnp.exp(-tau / ci[..., None]) - jnp.exp(-tau / co[..., None])) \
+        / jnp.where(jnp.abs(dm) < 1e-5, 1.0, dm)
+    ft_lim = tau / (ci * ci)[..., None] * jnp.exp(-tau / ci[..., None])
+    ft = p.refl * ph * jnp.where(jnp.abs(dm) < 1e-5, ft_lim, ft_reg)
+
+    out = jnp.where(same[..., None], fr, ft) * co[..., None]
+    return jnp.maximum(out, 0.0)
+
+
+def _pdf_hk(p, wi, wo):
+    ci = Frame.abs_cos_theta(wi)
+    pd = _hk_pdelta(p, ci)
+    return (1.0 - pd) * 0.5 * Frame.abs_cos_theta(wo) * INV_PI
+
+
 _EVAL = {
     DIFFUSE: (_eval_diffuse, _pdf_diffuse),
     ROUGHDIFFUSE: (_eval_roughdiffuse, _pdf_diffuse),
@@ -319,6 +364,7 @@ _EVAL = {
     PHONG: (_eval_phong, _pdf_phong),
     WARD: (_eval_ward, _pdf_ward),
     DIFFTRANS: (_eval_difftrans, _pdf_difftrans),
+    HK: (_eval_hk, _pdf_hk),
 }
 
 
@@ -415,6 +461,29 @@ def bsdf_sample(p: LaneParams, wi, u_lobe, u2, u_mask=None) -> BSDFSample:
             w_d = jnp.where(refl[..., None], p.spec, p.trans)
             wo, weight, pdf, delta, eta = _sel(
                 sel, (wo_d, w_d, jnp.ones(shape), jnp.ones(shape, bool), jnp.ones(shape)),
+                (wo, weight, pdf, delta, eta),
+            )
+        elif t == HK:
+            # delta transmission vs cosine-sampled single scattering
+            aci = jnp.maximum(jnp.abs(ci), 1e-4)
+            pd = _hk_pdelta(p, aci)
+            pick_delta = u_lobe < pd
+            u_re = jnp.clip((u_lobe - pd) / jnp.maximum(1.0 - pd, 1e-8),
+                            0.0, 0.999999)
+            down = u_re < 0.5  # transmission side
+            base = warp.square_to_cosine_hemisphere(u2)
+            sgn = jnp.where(down, -jnp.sign(ci), jnp.sign(ci))
+            wo_s = base * jnp.stack(
+                [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], axis=-1)
+            pdf_s = (1.0 - pd) * 0.5 * Frame.abs_cos_theta(wo_s) * INV_PI
+            w_s = m.safe_div(_eval_hk(p, wi_f, wo_s), pdf_s[..., None])
+            att = jnp.exp(-p.trans / aci[..., None])
+            w_d = att / jnp.maximum(pd, 1e-8)[..., None]
+            wo_t = jnp.where(pick_delta[..., None], -wi_f, wo_s)
+            w_t = jnp.where(pick_delta[..., None], w_d, w_s)
+            pdf_t = jnp.where(pick_delta, 1.0, jnp.maximum(pdf_s, 1e-20))
+            wo, weight, pdf, delta, eta = _sel(
+                sel, (wo_t, w_t, pdf_t, pick_delta, jnp.ones(shape)),
                 (wo, weight, pdf, delta, eta),
             )
         elif t == NULL_BSDF:

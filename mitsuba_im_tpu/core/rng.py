@@ -152,40 +152,50 @@ def _stratified_remap(s: SamplerState, u: jax.Array, dim0: jax.Array) -> jax.Arr
     return jnp.where((dim0 == 0)[..., None], stratified, u)
 
 
-def _sobol02(s: SamplerState, dim0: jax.Array) -> jax.Array:
-    """Owen-ish scrambled (0,2)-sequence for the first 2D pair (ldsampler)."""
+def _lds_pair(s: SamplerState, dim0: jax.Array) -> jax.Array:
+    """Low-discrepancy 2D pair for the aligned dimension pair at ``dim0``.
+
+    Padded Owen-scrambled Sobol' (Burley, JCGT 2020): every dimension pair
+    reuses the (0,2) point set with an independent hash-based Owen scramble
+    keyed by (pixel, seed, pair index).  Nested uniform scrambling preserves
+    the (0,2)-net's elementary intervals, so per-pair stratification is
+    exact while cross-pair correlation is broken — the TPU-native stand-in
+    for the reference's tabulated Joe-Kuo Sobol engine (sobolseq.h) that
+    needs no data tables and no dynamic gathers.
+
+    HALTON/HAMMERSLEY additionally use their true base-2/3 (resp. i/N)
+    points on the image-plane pair (dim 0), where the dimension is static.
+    """
+    from . import qmc
+
     i = s.sample.astype(U32)
-    # van der Corput (base 2) and Sobol' second dimension.
-    v = i
-    v = ((v & U32(0x55555555)) << 1) | ((v & U32(0xAAAAAAAA)) >> 1)
-    v = ((v & U32(0x33333333)) << 2) | ((v & U32(0xCCCCCCCC)) >> 2)
-    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v & U32(0xF0F0F0F0)) >> 4)
-    v = ((v & U32(0x00FF00FF)) << 8) | ((v & U32(0xFF00FF00)) >> 8)
-    v = (v << 16) | (v >> 16)
+    pair = (dim0 >> 1).astype(U32)
+    pix = s.pixel.astype(U32)
+    sd = jnp.broadcast_to(jnp.asarray(s.seed, U32), pix.shape)
+    scr = pcg4d(jnp.stack(
+        jnp.broadcast_arrays(pix, sd, pair, jnp.full_like(pix, U32(77))),
+        axis=-1))
+    b0, b1 = qmc.sobol02_bits(i)
+    u0 = qmc.bits_to_unit(qmc.owen_scramble(b0, scr[..., 0]))
+    u1 = qmc.bits_to_unit(qmc.owen_scramble(b1, scr[..., 1]))
 
-    # Sobol dim-2 via direction-number loop (unrolled, static 32 iters).
-    x = jnp.zeros_like(i)
-    c = U32(1 << 31)
-    ii = i
-    for _ in range(32):
-        x = jnp.where((ii & U32(1)) != 0, x ^ c, x)
-        c = c ^ (c >> 1)
-        ii = ii >> 1
-
-    scr = pcg4d(
-        jnp.stack(
-            jnp.broadcast_arrays(
-                s.pixel.astype(U32),
-                jnp.broadcast_to(jnp.asarray(s.seed, U32), s.pixel.shape),
-                jnp.full_like(s.pixel, 77).astype(U32),
-                jnp.zeros_like(s.pixel).astype(U32),
-            ),
-            axis=-1,
-        )
-    )
-    return jnp.stack(
-        [_to_unit_float(v ^ scr[..., 0]), _to_unit_float(x ^ scr[..., 1])], axis=-1
-    )
+    if s.kind == HALTON:
+        h0 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 2), scr[..., 2]))
+        h1 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 3), scr[..., 3]))
+        first = dim0 == 0
+        u0 = jnp.where(first, h0, u0)
+        u1 = jnp.where(first, h1, u1)
+    elif s.kind == HAMMERSLEY:
+        rot = _to_unit_float(scr[..., 2])
+        h0 = jnp.mod(i.astype(jnp.float32) / jnp.float32(max(s.spp, 1)) + rot, 1.0)
+        h1 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 2), scr[..., 3]))
+        first = dim0 == 0
+        u0 = jnp.where(first, h0, u0)
+        u1 = jnp.where(first, h1, u1)
+    return jnp.stack([u0, u1], axis=-1)
 
 
 def next_block4(s: SamplerState) -> tuple[SamplerState, jax.Array]:
@@ -222,8 +232,9 @@ def next_block4(s: SamplerState) -> tuple[SamplerState, jax.Array]:
     if s.kind == STRATIFIED:
         u = u.at[..., :2].set(_stratified_remap(s2, u[..., :2], dim))
     elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
-        ld = _sobol02(s2, dim)
-        u = jnp.where((dim == 0)[..., None], jnp.concatenate([ld, u[..., 2:]], -1), u)
+        lo = _lds_pair(s2, dim)
+        hi = _lds_pair(s2, dim + U32(2))
+        u = jnp.concatenate([lo, hi], axis=-1)
     return s2.replace(dim=dim + U32(4)), u
 
 
@@ -238,6 +249,5 @@ def next_2d(s: SamplerState) -> tuple[SamplerState, jax.Array]:
     if s.kind == STRATIFIED:
         u = _stratified_remap(s, u, s.dim)
     elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
-        ld = _sobol02(s, s.dim)
-        u = jnp.where((s.dim == 0)[..., None], ld, u)
+        u = _lds_pair(s, s.dim)
     return s.replace(dim=s.dim + U32(2)), u

@@ -84,9 +84,11 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         s = st["sampler"]
         frame = (st["ss"], st["ts"], st["ns"])
         act = st["active"]
-        bparams = scene.bsdf_at(
-            _fake_it(st)
-        )
+        if scene.bsdfs.unwrap_depth > 0:
+            s, sel_blk = mrng.next_block4(s)
+            bparams = scene.bsdf_at(_fake_it(st), u_sel=sel_blk[..., 0])
+        else:
+            bparams = scene.bsdf_at(_fake_it(st))
 
         # --- subsurface scattering (its.LoSub analog) ----------------------
         st_li0 = st["li"]

@@ -193,11 +193,15 @@ def volpath_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         do_scatter = (depth < max_depth_eff) & (med_scatter | surf)
         p_vert = jnp.where(med_scatter[..., None], o_c + d_c * t_m[..., None], it.p)
 
+        u_sel = None
+        if scene.bsdfs.unwrap_depth > 0:
+            s, sel_blk = mrng.next_block4(s)
+            u_sel = sel_blk[..., 0]
         bparams = scene.bsdf_at(_fake_it({
             "p": it.p, "ng": it.ng, "ns": it.ns, "ss": it.ss, "ts": it.ts_,
             "uv": it.uv, "wi_local": it.wi_local, "shape": it.shape,
             "active": surf,
-        }))
+        }), u_sel=u_sel)
         frame = (it.ss, it.ts_, it.ns)
 
         # NEE (surface: bsdf eval; medium: phase eval), attenuated shadow ray

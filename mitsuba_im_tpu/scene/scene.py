@@ -56,14 +56,68 @@ class Scene:
         )
 
     def interaction(self, o, d, hit: Hit) -> Interaction:
-        return compute_interaction(self.geom, o, d, hit)
+        it = compute_interaction(self.geom, o, d, hit)
+        if self.bsdfs.has_bump:
+            it = self._perturb_frame(it, d)
+        return it
 
-    def bsdf_at(self, it: Interaction) -> LaneParams:
+    def _perturb_frame(self, it: Interaction, d) -> Interaction:
+        """Bump / normal mapping (bumpmap.cpp / normalmap.cpp wrappers):
+        tilt the shading frame by the texture before any BSDF evaluation so
+        every integrator inherits it."""
+        from ..core.gather import gather_rows, RowBundle
+        from ..core import math as m
+        from ..bsdf.common import BUMP_HEIGHT, BUMP_NORMAL
+        from ..texture.texture import eval_texture
+
+        sid = jnp.where(it.shape == INVALID, 0, it.shape)
+        bid = gather_rows(self.shape_bsdf, sid)
+        bid = jnp.where(bid == INVALID, 0, bid)
+        b = (
+            RowBundle()
+            .add("bump_tex", self.bsdfs.bump_tex)
+            .add("bump_kind", self.bsdfs.bump_kind)
+            .add("bump_scale", self.bsdfs.bump_scale)
+        ).lookup(bid)
+        active = (b["bump_kind"] > 0) & (b["bump_tex"] != INVALID) & it.valid
+        if active.shape == ():  # scalar lanes: skip
+            return it
+
+        # height bump: central-difference gradient of the mean channel
+        eps = 5e-4
+        du = jnp.asarray([eps, 0.0], it.uv.dtype)
+        dv = jnp.asarray([0.0, eps], it.uv.dtype)
+        h0 = jnp.mean(eval_texture(self.textures, b["bump_tex"], it.uv, None), -1)
+        hu = jnp.mean(eval_texture(self.textures, b["bump_tex"], it.uv + du, None), -1)
+        hv = jnp.mean(eval_texture(self.textures, b["bump_tex"], it.uv + dv, None), -1)
+        dhdu = (hu - h0) / eps * b["bump_scale"]
+        dhdv = (hv - h0) / eps * b["bump_scale"]
+        n_height = m.normalize(
+            it.ns - dhdu[..., None] * it.ss - dhdv[..., None] * it.ts_)
+
+        # normal map: tangent-space rgb -> [-1,1]^3
+        c = eval_texture(self.textures, b["bump_tex"], it.uv, None)
+        nt = m.normalize(2.0 * c - 1.0)
+        n_map = m.normalize(
+            nt[..., 0:1] * it.ss + nt[..., 1:2] * it.ts_ + nt[..., 2:3] * it.ns)
+
+        ns = jnp.where((b["bump_kind"] == BUMP_HEIGHT)[..., None], n_height,
+                       jnp.where((b["bump_kind"] == BUMP_NORMAL)[..., None],
+                                 n_map, it.ns))
+        ns = jnp.where(active[..., None], ns, it.ns)
+        # keep ns in ng's hemisphere (no silhouette flips)
+        ns = jnp.where((m.dot(ns, it.ng) < 0)[..., None], -ns, ns)
+        ss = m.normalize(it.ss - ns * m.dot(ns, it.ss)[..., None])
+        ts = m.cross(ns, ss)
+        wi_local = m.Frame.to_local((ss, ts, ns), -d)
+        return it.replace(ns=ns, ss=ss, ts_=ts, wi_local=wi_local)
+
+    def bsdf_at(self, it: Interaction, u_sel=None) -> LaneParams:
         from ..core.gather import gather_rows
 
         sid = jnp.where(it.shape == INVALID, 0, it.shape)
         bid = gather_rows(self.shape_bsdf, sid)
-        return bsdf_resolve(self.bsdfs, self.textures, bid, it.uv)
+        return bsdf_resolve(self.bsdfs, self.textures, bid, it.uv, u_sel)
 
     def emitter_at(self, it: Interaction) -> jax.Array:
         from ..core.gather import gather_rows
