@@ -4,16 +4,24 @@ The jnp broadcast intersector materializes (rays x tris) intermediates in
 HBM; these kernels keep the triangle soup in VMEM and the running best hit
 in vector registers, so HBM traffic is just rays-in / hits-out.
 
-Layout: each program owns an (8, 128) tile of 1024 rays (SoA components).
+Layout: ray components arrive as eight independent (rows, 128) SoA arrays
+(ox..dz, tmin, tmax) — producing those from an (N, 3) ray batch is nearly
+free (XLA keeps (N, 3) compact, so a component slice + reshape is a single
+cheap copy), whereas the previous packed ``o.T.reshape(3, rows, 128)``
+forced a real relayout (~0.8 ms/Mray).  Each program owns a (TILE, 128)
+tile of rays (TILE up to 256 sublanes = 32K rays) and walks it in (8, 128)
+groups with an inner ``fori_loop``, so the pallas grid is ~32 steps per
+Mray instead of 1024 (grid steps cost ~2 us each).
+
 Triangles are lane-replicated (T_pad, 128) arrays; a chunk of 8 loads as an
 aligned (8, 128) tile whose sublane r holds triangle 8c+r.  Mosaic forbids
 scalar loads at dynamic lane offsets, so instead of broadcasting one
 triangle at a time the kernel tests the chunk elementwise against the ray
-tile and cycles it with ``pltpu.roll`` — 8 rotations cover all 64
+group and cycles it with ``pltpu.roll`` — 8 rotations cover all 64
 (ray-row x triangle) pairs, keeping every VPU op on a dense (8, 128) tile.
 
 Used when the scene's triangle count is below ``BRUTE_FORCE_MAX``
-(Cornell-box-class scenes); larger scenes take the threaded-BVH path.
+(Cornell-box-class scenes); larger scenes take the cluster-marching path.
 """
 from __future__ import annotations
 
@@ -28,8 +36,8 @@ from ..core.types import Float, Int
 
 LANES = 128
 SUB = 8
-BLOCK = SUB * LANES  # rays per program
 CHUNK = 8  # triangles per chunk (sublane tile)
+MAX_TILE = 256  # ray sublanes per program (256*128 = 32K rays)
 BIG = 3.0e37
 
 
@@ -60,70 +68,90 @@ def _mt(ox, oy, oz, dx, dy, dz, tmin, tlim,
 
 def _closest_kernel(*refs):
     tri = refs[0:9]
-    o_ref, d_ref, lim_ref = refs[9], refs[10], refs[11]
-    t_ref, u_ref, v_ref, idx_ref = refs[12], refs[13], refs[14], refs[15]
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tn_r, tf_r = refs[9:17]
+    t_ref, u_ref, v_ref, idx_ref = refs[17:21]
     T = tri[0].shape[0]
-
-    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
-    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    tmin = lim_ref[0]
-    tmax = lim_ref[1]
+    tile = ox_r.shape[0]
 
     sub_iota = jax.lax.broadcasted_iota(Int, (SUB, LANES), 0)
 
-    def body(c, carry):
-        t_b, u_b, v_b, i_b = carry
-        s = pl.multiple_of(c * CHUNK, CHUNK)
-        comps = [r[pl.ds(s, CHUNK), :] for r in tri]
-        for j in range(CHUNK):
-            if j > 0:
-                comps = [pltpu.roll(x, 1, 0) for x in comps]
-            hit, t, u, v = _mt(ox, oy, oz, dx, dy, dz, tmin, t_b, *comps)
-            # after j rolls, sublane r holds triangle 8c + (r - j) mod 8
-            tri_idx = c * CHUNK + jnp.bitwise_and(sub_iota + (CHUNK - j), CHUNK - 1)
-            t_b = jnp.where(hit, t, t_b)
-            u_b = jnp.where(hit, u, u_b)
-            v_b = jnp.where(hit, v, v_b)
-            i_b = jnp.where(hit, tri_idx, i_b)
-        return t_b, u_b, v_b, i_b
+    def group(g, _):
+        s = pl.multiple_of(g * SUB, SUB)
+        ox, oy, oz = (ox_r[pl.ds(s, SUB), :], oy_r[pl.ds(s, SUB), :],
+                      oz_r[pl.ds(s, SUB), :])
+        dx, dy, dz = (dx_r[pl.ds(s, SUB), :], dy_r[pl.ds(s, SUB), :],
+                      dz_r[pl.ds(s, SUB), :])
+        tmin = tn_r[pl.ds(s, SUB), :]
+        tmax = tf_r[pl.ds(s, SUB), :]
 
-    init = (
-        jnp.minimum(jnp.full((SUB, LANES), BIG, Float), tmax),
-        jnp.zeros((SUB, LANES), Float),
-        jnp.zeros((SUB, LANES), Float),
-        jnp.full((SUB, LANES), -1, Int),
-    )
-    t_b, u_b, v_b, i_b = jax.lax.fori_loop(0, T // CHUNK, body, init)
-    t_ref[...] = t_b
-    u_ref[...] = u_b
-    v_ref[...] = v_b
-    idx_ref[...] = i_b
+        def body(c, carry):
+            t_b, u_b, v_b, i_b = carry
+            cs = pl.multiple_of(c * CHUNK, CHUNK)
+            comps = [r[pl.ds(cs, CHUNK), :] for r in tri]
+            for j in range(CHUNK):
+                if j > 0:
+                    comps = [pltpu.roll(x, 1, 0) for x in comps]
+                hit, t, u, v = _mt(ox, oy, oz, dx, dy, dz, tmin, t_b, *comps)
+                # after j rolls, sublane r holds triangle 8c + (r - j) mod 8
+                tri_idx = c * CHUNK + jnp.bitwise_and(
+                    sub_iota + (CHUNK - j), CHUNK - 1)
+                t_b = jnp.where(hit, t, t_b)
+                u_b = jnp.where(hit, u, u_b)
+                v_b = jnp.where(hit, v, v_b)
+                i_b = jnp.where(hit, tri_idx, i_b)
+            return t_b, u_b, v_b, i_b
+
+        init = (
+            jnp.minimum(jnp.full((SUB, LANES), BIG, Float), tmax),
+            jnp.zeros((SUB, LANES), Float),
+            jnp.zeros((SUB, LANES), Float),
+            jnp.full((SUB, LANES), -1, Int),
+        )
+        t_b, u_b, v_b, i_b = jax.lax.fori_loop(0, T // CHUNK, body, init)
+        t_ref[pl.ds(s, SUB), :] = t_b
+        u_ref[pl.ds(s, SUB), :] = u_b
+        v_ref[pl.ds(s, SUB), :] = v_b
+        idx_ref[pl.ds(s, SUB), :] = i_b
+        return 0
+
+    jax.lax.fori_loop(0, tile // SUB, group, 0)
 
 
 def _anyhit_kernel(*refs):
     tri = refs[0:9]
-    o_ref, d_ref, lim_ref, hit_ref = refs[9], refs[10], refs[11], refs[12]
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tn_r, tf_r = refs[9:17]
+    hit_ref = refs[17]
     T = tri[0].shape[0]
-    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
-    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    tmin = lim_ref[0]
-    tmax = lim_ref[1]
+    tile = ox_r.shape[0]
 
-    def body(c, acc):
-        s = pl.multiple_of(c * CHUNK, CHUNK)
-        comps = [r[pl.ds(s, CHUNK), :] for r in tri]
-        for j in range(CHUNK):
-            if j > 0:
-                comps = [pltpu.roll(x, 1, 0) for x in comps]
-            hit, _t, _u, _v = _mt(ox, oy, oz, dx, dy, dz, tmin, tmax, *comps)
-            # int32 accumulator: Mosaic rejects i1 vector loop carries
-            acc = acc | hit.astype(Int)
-        return acc
+    def group(g, _):
+        s = pl.multiple_of(g * SUB, SUB)
+        ox, oy, oz = (ox_r[pl.ds(s, SUB), :], oy_r[pl.ds(s, SUB), :],
+                      oz_r[pl.ds(s, SUB), :])
+        dx, dy, dz = (dx_r[pl.ds(s, SUB), :], dy_r[pl.ds(s, SUB), :],
+                      dz_r[pl.ds(s, SUB), :])
+        tmin = tn_r[pl.ds(s, SUB), :]
+        tmax = tf_r[pl.ds(s, SUB), :]
 
-    acc = jax.lax.fori_loop(
-        0, T // CHUNK, body, jnp.zeros((SUB, LANES), Int)
-    )
-    hit_ref[...] = acc
+        def body(c, acc):
+            cs = pl.multiple_of(c * CHUNK, CHUNK)
+            comps = [r[pl.ds(cs, CHUNK), :] for r in tri]
+            for j in range(CHUNK):
+                if j > 0:
+                    comps = [pltpu.roll(x, 1, 0) for x in comps]
+                hit, _t, _u, _v = _mt(ox, oy, oz, dx, dy, dz, tmin, tmax,
+                                      *comps)
+                # int32 accumulator: Mosaic rejects i1 vector loop carries
+                acc = acc | hit.astype(Int)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, T // CHUNK, body, jnp.zeros((SUB, LANES), Int)
+        )
+        hit_ref[pl.ds(s, SUB), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, tile // SUB, group, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -137,10 +165,10 @@ def _tri_specs(T_pad):
     ]
 
 
-def _ray_specs():
-    bs = lambda rows: pl.BlockSpec((rows, SUB, LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)
-    return [bs(3), bs(3), bs(2)]
+def _ray_specs(tile):
+    bs = pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    return [bs] * 8
 
 
 def replicate_tris(geom):
@@ -155,33 +183,42 @@ def replicate_tris(geom):
 
 
 def _prep_rays(o, d, tmin, tmax):
+    """(N,3) rays -> eight (rows, 128) SoA component planes.
+
+    Component slices of a compact (N, 3) array are nearly free; the
+    (npad,) -> (rows, 128) reshape is a no-op (row-major)."""
     n = o.shape[0]
-    n_pad = -n % BLOCK
-    npad = n + n_pad
+    rows_min = max(-(-n // LANES), SUB)
+    tile = min(-(-rows_min // SUB) * SUB, MAX_TILE)
+    block = tile * LANES
+    npad = -(-n // block) * block
     rows = npad // LANES
-    o_t = jnp.pad(o, ((0, n_pad), (0, 0))).T.reshape(3, rows, LANES)
-    d_t = jnp.pad(d, ((0, n_pad), (0, 0)), constant_values=1.0).T.reshape(3, rows, LANES)
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
-    lim = jnp.stack([
-        jnp.pad(tmin, (0, n_pad)),
-        jnp.pad(tmax, (0, n_pad), constant_values=-1.0),
-    ]).reshape(2, rows, LANES)
-    return o_t, d_t, lim, rows
+
+    o_p = jnp.pad(o, ((0, npad - n), (0, 0)))
+    d_p = jnp.pad(d, ((0, npad - n), (0, 0)), constant_values=1.0)
+    planes = [o_p[:, k].reshape(rows, LANES) for k in range(3)]
+    planes += [d_p[:, k].reshape(rows, LANES) for k in range(3)]
+    tn = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
+    tf = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
+    planes.append(jnp.pad(tn, (0, npad - n)).reshape(rows, LANES))
+    planes.append(jnp.pad(tf, (0, npad - n),
+                          constant_values=-1.0).reshape(rows, LANES))
+    return planes, rows, tile
 
 
 def closest_tris(tri_rep, o, d, tmin, tmax):
     """Closest hit over the soup. Returns flat (t, u, v, idx, hit)."""
     n = o.shape[0]
-    o_t, d_t, lim, rows = _prep_rays(o, d, tmin, tmax)
+    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
     T_pad = tri_rep.shape[1]
-    grid = rows // SUB
+    grid = rows // tile
 
-    out_bs = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     t, u, v, idx = pl.pallas_call(
         _closest_kernel,
         grid=(grid,),
-        in_specs=_tri_specs(T_pad) + _ray_specs(),
+        in_specs=_tri_specs(T_pad) + _ray_specs(tile),
         out_specs=[out_bs] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), Float),
@@ -189,7 +226,7 @@ def closest_tris(tri_rep, o, d, tmin, tmax):
             jax.ShapeDtypeStruct((rows, LANES), Float),
             jax.ShapeDtypeStruct((rows, LANES), Int),
         ],
-    )(*[tri_rep[k] for k in range(9)], o_t, d_t, lim)
+    )(*[tri_rep[k] for k in range(9)], *planes)
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
     return (t, u.reshape(-1)[:n], v.reshape(-1)[:n], jnp.maximum(idx, 0),
@@ -198,15 +235,16 @@ def closest_tris(tri_rep, o, d, tmin, tmax):
 
 def anyhit_tris(tri_rep, o, d, tmin, tmax):
     n = o.shape[0]
-    o_t, d_t, lim, rows = _prep_rays(o, d, tmin, tmax)
+    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
     T_pad = tri_rep.shape[1]
-    grid = rows // SUB
-    out_bs = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = rows // tile
+    out_bs = pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     hit = pl.pallas_call(
         _anyhit_kernel,
         grid=(grid,),
-        in_specs=_tri_specs(T_pad) + _ray_specs(),
+        in_specs=_tri_specs(T_pad) + _ray_specs(tile),
         out_specs=out_bs,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), Int),
-    )(*[tri_rep[k] for k in range(9)], o_t, d_t, lim)
+    )(*[tri_rep[k] for k in range(9)], *planes)
     return hit.reshape(-1)[:n] > 0

@@ -14,6 +14,7 @@ from typing import Any, TypeVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 T = TypeVar("T")
 
@@ -29,7 +30,10 @@ Int = jnp.int32
 EPSILON = 1e-4
 SHADOW_EPSILON = 1e-3
 DELTA_EPSILON = 1e-3
-ONE_MINUS_EPS = float(jnp.float32(1.0) - jnp.finfo(jnp.float32).epsneg)
+# Computed host-side with numpy: an eager jnp op here would run on the TPU at
+# import time, and the resulting device->host transfer permanently degrades
+# the axon-tunneled runtime into a ~35 ms-per-dispatch synchronous mode.
+ONE_MINUS_EPS = float(np.float32(1.0) - np.finfo(np.float32).epsneg)
 INF = float("inf")
 MAX_FLOAT = 3.4028235e38
 
