@@ -27,8 +27,8 @@ def main():
     from __graft_entry__ import _tiny_cornell
     from mitsuba_im_tpu.core import rng as mrng
     from mitsuba_im_tpu.core.types import Float
-    from mitsuba_im_tpu.integrators.path import PathConfig, path_li
-    from mitsuba_im_tpu.sensor.table import sample_ray
+    from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
+    from mitsuba_im_tpu.sensor.table import sample_ray_v
 
     scene, _settings = _tiny_cornell()
     max_depth = 5
@@ -40,14 +40,13 @@ def main():
 
     def one_pass(scene, sample_idx):
         pix = jnp.arange(n, dtype=jnp.uint32)
-        sampler = mrng.make_sampler(pix, sample_idx, jnp.uint32(0))
-        sampler, blk0 = mrng.next_block4(sampler)
-        jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
-        pos = jnp.stack([(pix % W).astype(Float), (pix // W).astype(Float)], -1) + jitter
-        uv = pos / jnp.asarray([W, H], Float)
-        o, d, _w = sample_ray(scene.sensor, uv, u_lens)
-        li, _ = path_li(scene, sampler, o, d, cfg)
-        return jnp.sum(li)
+        sampler = mrng.make_sampler_v(pix, sample_idx, jnp.uint32(0))
+        sampler, blk0 = mrng.next_block4_v(sampler)
+        uu = ((pix % W).astype(Float) + blk0[0]) / W
+        vv = ((pix // W).astype(Float) + blk0[1]) / H
+        o, d, _w = sample_ray_v(scene.sensor, uu, vv, blk0[2], blk0[3])
+        li, _ = path_li_v(scene, sampler, o, d, cfg)
+        return li.sum().sum()
 
     def scanner(K):
         @jax.jit

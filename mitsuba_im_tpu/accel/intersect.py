@@ -342,6 +342,147 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
     )
 
 
+# ---------------------------------------------------------------------------
+# Component-SoA entry points (canonical for the wavefront hot path)
+# ---------------------------------------------------------------------------
+
+def _sphere_best_v(geom, o, d, tmin, tmax):
+    """Loop over the (tiny) sphere table at full lane density."""
+    from ..core import v3 as v
+
+    R = o.x.shape[0]
+    best_t = jnp.full((R,), BIG, Float)
+    best_i = jnp.zeros((R,), Int)
+    a = d.dot(d)
+    for k in range(geom.sph_center.shape[0]):
+        c = v.V3(geom.sph_center[k, 0], geom.sph_center[k, 1],
+                 geom.sph_center[k, 2])
+        radius = geom.sph_radius[k]
+        L = o - c
+        b = 2.0 * d.dot(L)
+        cc = L.dot(L) - radius * radius
+        disc = b * b - 4 * a * cc
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sb = jnp.where(b >= 0.0, 1.0, -1.0)
+        q = -0.5 * (b + sb * sq)
+        t0 = q / jnp.where(a == 0, 1.0, a)
+        t1 = cc / jnp.where(q == 0, 1.0, q)
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t = jnp.where((lo > tmin) & (lo < tmax), lo, hi)
+        hit = ok & (t > tmin) & (t < tmax) & (radius > 0) & (t < best_t)
+        best_t = jnp.where(hit, t, best_t)
+        best_i = jnp.where(hit, k, best_i)
+    return best_i, best_t, best_t < BIG
+
+
+def _disk_best_v(geom, o, d, tmin, tmax):
+    from ..core import v3 as v
+
+    R = o.x.shape[0]
+    best_t = jnp.full((R,), BIG, Float)
+    best_i = jnp.zeros((R,), Int)
+    for k in range(geom.disk_center.shape[0]):
+        c = v.V3(geom.disk_center[k, 0], geom.disk_center[k, 1],
+                 geom.disk_center[k, 2])
+        n = v.V3(geom.disk_n[k, 0], geom.disk_n[k, 1], geom.disk_n[k, 2])
+        radius = geom.disk_radius[k]
+        denom = d.dot(n)
+        tt = (c - o).dot(n) / jnp.where(denom == 0, 1.0, denom)
+        p = o + d * tt
+        local = p - c
+        r2 = local.dot(local) - local.dot(n) ** 2
+        hit = ((jnp.abs(denom) > 1e-12) & (tt > tmin) & (tt < tmax)
+               & (r2 <= radius * radius) & (radius > 0) & (tt < best_t))
+        best_t = jnp.where(hit, tt, best_t)
+        best_i = jnp.where(hit, k, best_i)
+    return best_i, best_t, best_t < BIG
+
+
+def intersect_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
+                clusters=None) -> Hit:
+    """Closest-hit over component-SoA rays (o, d: V3 of flat (N,) arrays).
+
+    Canonical hot-path entry: on TPU the ray components feed the Pallas
+    kernel with zero relayout; CPU / large-scene paths stack to (N,3) and
+    reuse the generic code (correctness only)."""
+    from ..core import v3 as v
+
+    small = geom.n_tris <= BRUTE_FORCE_MAX
+    if not (_use_pallas() and small and clusters is None):
+        return intersect(geom, o.to_array(), d.to_array(), tmin, tmax,
+                         bvh=bvh, clusters=clusters)
+
+    from . import pallas_intersect as pk
+
+    R = o.x.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))
+    sg = jax.lax.stop_gradient
+    sgv = lambda w: v.V3(sg(w.x), sg(w.y), sg(w.z))
+    tbest, tu, tv, ti, tvalid = pk.closest_tris_v(
+        pk.replicate_tris(geom), sgv(o), sgv(d), sg(tmin), sg(tmax)
+    )
+    si, sbest, svalid = _sphere_best_v(geom, o, d, tmin, tmax)
+    di, dbest, dvalid = _disk_best_v(geom, o, d, tmin, tmax)
+
+    tbest = jnp.where(tvalid, tbest, BIG)
+    best = jnp.minimum(jnp.minimum(tbest, sbest), dbest)
+    kind = jnp.where(
+        best >= BIG, KIND_NONE,
+        jnp.where(tbest == best, KIND_TRI,
+                  jnp.where(sbest == best, KIND_SPHERE, KIND_DISK)),
+    ).astype(Int)
+    prim = jnp.where(kind == KIND_TRI, ti,
+                     jnp.where(kind == KIND_SPHERE, si, di))
+    shape = jnp.where(
+        kind == KIND_TRI,
+        v.gather_col(geom.tri_shape,
+                     jnp.clip(prim, 0, geom.tri_shape.shape[0] - 1)),
+        jnp.where(
+            kind == KIND_SPHERE,
+            v.gather_col(geom.sph_shape,
+                         jnp.clip(prim, 0, geom.sph_shape.shape[0] - 1)),
+            v.gather_col(geom.disk_shape,
+                         jnp.clip(prim, 0, geom.disk_shape.shape[0] - 1)),
+        ),
+    )
+    return Hit(
+        t=jnp.where(kind == KIND_NONE, BIG, best),
+        kind=kind,
+        prim=jnp.where(kind == KIND_NONE, 0, prim).astype(Int),
+        shape=jnp.where(kind == KIND_NONE, INVALID, shape).astype(Int),
+        u=jnp.where(kind == KIND_TRI, tu, 0.0),
+        v=jnp.where(kind == KIND_TRI, tv, 0.0),
+    )
+
+
+def occluded_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
+               clusters=None) -> jax.Array:
+    """Any-hit over component-SoA rays."""
+    from ..core import v3 as v
+
+    small = geom.n_tris <= BRUTE_FORCE_MAX
+    if not (_use_pallas() and small and clusters is None):
+        return occluded(geom, o.to_array(), d.to_array(), tmin, tmax,
+                        bvh=bvh, clusters=clusters)
+
+    from . import pallas_intersect as pk
+
+    R = o.x.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (R,))
+    sg = jax.lax.stop_gradient
+    sgv = lambda w: v.V3(sg(w.x), sg(w.y), sg(w.z))
+    blocked = pk.anyhit_tris_v(
+        pk.replicate_tris(geom), sgv(o), sgv(d), sg(tmin), sg(tmax)
+    )
+    _, _, sh = _sphere_best_v(geom, o, d, tmin, tmax)
+    _, _, dh = _disk_best_v(geom, o, d, tmin, tmax)
+    return blocked | sh | dh
+
+
 def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
              clusters=None) -> jax.Array:
     """Any-hit (shadow ray) query -> bool per ray."""

@@ -182,37 +182,42 @@ def replicate_tris(geom):
     return jnp.broadcast_to(comps[:, :, None], (9, T_pad, LANES))
 
 
-def _prep_rays(o, d, tmin, tmax):
-    """(N,3) rays -> eight (rows, 128) SoA component planes.
+def _prep_components(comps8):
+    """Eight flat (N,) ray components -> (rows, 128) planes.
 
-    Component slices of a compact (N, 3) array are nearly free; the
-    (npad,) -> (rows, 128) reshape is a no-op (row-major)."""
-    n = o.shape[0]
+    The (npad,) -> (rows, 128) reshape is a layout no-op (row-major), so
+    component-SoA callers pay only the pad."""
+    n = comps8[0].shape[0]
     rows_min = max(-(-n // LANES), SUB)
     tile = min(-(-rows_min // SUB) * SUB, MAX_TILE)
     block = tile * LANES
     npad = -(-n // block) * block
     rows = npad // LANES
-
-    o_p = jnp.pad(o, ((0, npad - n), (0, 0)))
-    d_p = jnp.pad(d, ((0, npad - n), (0, 0)), constant_values=1.0)
-    planes = [o_p[:, k].reshape(rows, LANES) for k in range(3)]
-    planes += [d_p[:, k].reshape(rows, LANES) for k in range(3)]
-    tn = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
-    tf = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
-    planes.append(jnp.pad(tn, (0, npad - n)).reshape(rows, LANES))
-    planes.append(jnp.pad(tf, (0, npad - n),
-                          constant_values=-1.0).reshape(rows, LANES))
+    # pad values: direction components 1.0 (avoids degenerate rays),
+    # tmax -1.0 (marks padding lanes as no-hit)
+    fills = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0]
+    planes = [
+        jnp.pad(c, (0, npad - n), constant_values=f).reshape(rows, LANES)
+        for c, f in zip(comps8, fills)
+    ]
     return planes, rows, tile
 
 
-def closest_tris(tri_rep, o, d, tmin, tmax):
-    """Closest hit over the soup. Returns flat (t, u, v, idx, hit)."""
+def _prep_rays(o, d, tmin, tmax):
+    """(N,3) rays -> eight (rows, 128) SoA component planes.
+
+    Component slices of a compact (N, 3) array are nearly free."""
     n = o.shape[0]
-    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
+    tn = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
+    tf = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
+    return _prep_components(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tn, tf]
+    )
+
+
+def _closest_planes(tri_rep, planes, rows, tile, n):
     T_pad = tri_rep.shape[1]
     grid = rows // tile
-
     out_bs = pl.BlockSpec((tile, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     t, u, v, idx = pl.pallas_call(
@@ -233,9 +238,7 @@ def closest_tris(tri_rep, o, d, tmin, tmax):
             idx >= 0)
 
 
-def anyhit_tris(tri_rep, o, d, tmin, tmax):
-    n = o.shape[0]
-    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
+def _anyhit_planes(tri_rep, planes, rows, tile, n):
     T_pad = tri_rep.shape[1]
     grid = rows // tile
     out_bs = pl.BlockSpec((tile, LANES), lambda i: (i, 0),
@@ -248,3 +251,37 @@ def anyhit_tris(tri_rep, o, d, tmin, tmax):
         out_shape=jax.ShapeDtypeStruct((rows, LANES), Int),
     )(*[tri_rep[k] for k in range(9)], *planes)
     return hit.reshape(-1)[:n] > 0
+
+
+def closest_tris(tri_rep, o, d, tmin, tmax):
+    """Closest hit over the soup. Returns flat (t, u, v, idx, hit)."""
+    n = o.shape[0]
+    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
+    return _closest_planes(tri_rep, planes, rows, tile, n)
+
+
+def closest_tris_v(tri_rep, o, d, tmin, tmax):
+    """Component-SoA closest hit: o, d are V3 of flat (N,) arrays."""
+    n = o.x.shape[0]
+    tn = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
+    tf = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
+    planes, rows, tile = _prep_components(
+        [o.x, o.y, o.z, d.x, d.y, d.z, tn, tf]
+    )
+    return _closest_planes(tri_rep, planes, rows, tile, n)
+
+
+def anyhit_tris(tri_rep, o, d, tmin, tmax):
+    n = o.shape[0]
+    planes, rows, tile = _prep_rays(o, d, tmin, tmax)
+    return _anyhit_planes(tri_rep, planes, rows, tile, n)
+
+
+def anyhit_tris_v(tri_rep, o, d, tmin, tmax):
+    n = o.x.shape[0]
+    tn = jnp.broadcast_to(jnp.asarray(tmin, Float), (n,))
+    tf = jnp.broadcast_to(jnp.asarray(tmax, Float), (n,))
+    planes, rows, tile = _prep_components(
+        [o.x, o.y, o.z, d.x, d.y, d.z, tn, tf]
+    )
+    return _anyhit_planes(tri_rep, planes, rows, tile, n)

@@ -160,6 +160,129 @@ class LaneParams:
     used_types: tuple = static_field(default=(DIFFUSE,))
 
 
+@pytree_dataclass
+class LaneParams3:
+    """Component-SoA per-lane BSDF parameters (canonical hot-path form):
+    spectra are V3 of flat (N,) arrays, scalars are flat (N,)."""
+
+    type: jax.Array
+    dist: jax.Array
+    refl: object  # V3
+    spec: object  # V3
+    trans: object  # V3
+    eta: object  # V3
+    k: object  # V3
+    eta_s: jax.Array
+    alpha_u: jax.Array
+    alpha_v: jax.Array
+    exponent: jax.Array
+    opacity: jax.Array
+    flags: jax.Array
+    used_types: tuple = static_field(default=(DIFFUSE,))
+
+    def to_aos(self) -> "LaneParams":
+        return LaneParams(
+            type=self.type, dist=self.dist, refl=self.refl.to_array(),
+            spec=self.spec.to_array(), trans=self.trans.to_array(),
+            eta=self.eta.to_array(), k=self.k.to_array(), eta_s=self.eta_s,
+            alpha_u=self.alpha_u, alpha_v=self.alpha_v,
+            exponent=self.exponent, opacity=self.opacity, flags=self.flags,
+            used_types=self.used_types,
+        )
+
+
+def lane_params_to_v(p: LaneParams) -> LaneParams3:
+    from ..core.v3 import V3
+
+    return LaneParams3(
+        type=p.type, dist=p.dist, refl=V3.from_array(p.refl),
+        spec=V3.from_array(p.spec), trans=V3.from_array(p.trans),
+        eta=V3.from_array(p.eta), k=V3.from_array(p.k), eta_s=p.eta_s,
+        alpha_u=p.alpha_u, alpha_v=p.alpha_v, exponent=p.exponent,
+        opacity=p.opacity, flags=p.flags, used_types=p.used_types,
+    )
+
+
+def resolve_v(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
+              uv_u: jax.Array, uv_v: jax.Array,
+              u_sel: jax.Array | None = None) -> LaneParams3:
+    """Component-SoA parameter resolve: per-column fused select chains
+    (full tile density) instead of one wide (N, C) matrix lookup.  Same
+    MASK/BLEND unwrap semantics as :func:`resolve`.
+    """
+    from ..core import v3 as v
+    from ..texture.texture import eval_texture_v
+
+    B = table.type.shape[0]
+    if B <= v.SELECT_MAX:
+        gc = lambda col, idx: v.gather_col(col, idx)
+        g3 = lambda tab, idx: v.gather_v3(tab, idx)
+    else:
+        gc = lambda col, idx: col[idx]
+        g3 = lambda tab, idx: v.V3.from_array(tab[idx])
+
+    bid = jnp.where(bsdf_id == INVALID, 0, bsdf_id)
+    op_scalar = jnp.ones(bid.shape, Float)
+    if table.unwrap_depth > 0:
+        if u_sel is None:
+            u = _hash_uniform(jnp.stack([uv_u, uv_v], axis=-1))
+        else:
+            u = u_sel
+        for _ in range(table.unwrap_depth):
+            # read every wrapper column at the iteration-entry bid
+            wtype = gc(table.type, bid)
+            nested = gc(table.nested, bid)
+            nested2 = gc(table.nested2, bid)
+            weight = gc(table.weight, bid)
+            weight_tex = gc(table.weight_tex, bid)
+            is_mask = wtype == MASK
+            opacity = eval_texture_v(tex, gc(table.opacity_tex, bid),
+                                     uv_u, uv_v, g3(table.opacity, bid))
+            op = jnp.clip(opacity.mean(), 0.0, 1.0)
+            op_scalar = op_scalar * jnp.where(is_mask, op, 1.0)
+            bid = jnp.where(is_mask & (nested != INVALID), nested, bid)
+            if BLEND in table.used_types:
+                is_blend = wtype == BLEND
+                wgt_rgb = eval_texture_v(tex, weight_tex, uv_u, uv_v,
+                                         v.V3(weight, weight, weight))
+                wgt = jnp.clip(wgt_rgb.mean(), 0.0, 1.0)
+                pick2 = u < wgt
+                bid = jnp.where(
+                    is_blend, jnp.where(pick2, nested2, nested), bid)
+                u_re = jnp.where(pick2,
+                                 u / jnp.maximum(wgt, 1e-8),
+                                 (u - wgt) / jnp.maximum(1.0 - wgt, 1e-8))
+                u = jnp.where(is_blend, jnp.clip(u_re, 0.0, 0.999999), u)
+            bid = jnp.where(bid == INVALID, 0, bid)
+
+    alpha_tex = gc(table.alpha_tex, bid)
+    alpha_rgb = eval_texture_v(tex, alpha_tex, uv_u, uv_v, None)
+    alpha_from_tex = alpha_rgb.mean()
+    has_atex = alpha_tex != INVALID
+    au = jnp.where(has_atex, alpha_from_tex, gc(table.alpha_u, bid))
+    av = jnp.where(has_atex, alpha_from_tex, gc(table.alpha_v, bid))
+
+    return LaneParams3(
+        type=gc(table.type, bid),
+        dist=gc(table.dist, bid),
+        refl=eval_texture_v(tex, gc(table.refl_tex, bid), uv_u, uv_v,
+                            g3(table.refl, bid)),
+        spec=eval_texture_v(tex, gc(table.spec_tex, bid), uv_u, uv_v,
+                            g3(table.spec, bid)),
+        trans=eval_texture_v(tex, gc(table.trans_tex, bid), uv_u, uv_v,
+                             g3(table.trans, bid)),
+        eta=g3(table.eta, bid),
+        k=g3(table.k, bid),
+        eta_s=gc(table.eta_s, bid),
+        alpha_u=jnp.maximum(au, 1e-4),
+        alpha_v=jnp.maximum(av, 1e-4),
+        exponent=gc(table.exponent, bid),
+        opacity=op_scalar,
+        flags=gc(table.flags, bid),
+        used_types=table.used_types,
+    )
+
+
 def _hash_uniform(uv: jax.Array) -> jax.Array:
     """Fallback per-lane uniform derived from the uv bit pattern — used when
     the caller has no sampler at hand (decorrelates across shading points)."""

@@ -33,6 +33,31 @@ def fresnel_dielectric(cos_theta_i: jax.Array, eta: jax.Array):
     return F, cos_theta_t, eta_rel, eta_ti
 
 
+def fresnel_conductor_v(cos_theta_i, eta, k):
+    """Exact unpolarized conductor Fresnel in component-SoA form;
+    eta, k are V3 rgb, cos_theta_i flat (N,).  Returns V3."""
+    ci = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    e2 = eta * eta
+    k2 = k * k
+
+    from ..core.v3 import V3
+
+    t0 = e2 - k2 - si2
+    a2b2_sq = t0 * t0 + e2 * k2 * 4.0
+    a2b2 = V3(safe_sqrt(a2b2_sq.x), safe_sqrt(a2b2_sq.y), safe_sqrt(a2b2_sq.z))
+    t1 = a2b2 + ci2
+    half = (a2b2 + t0) * 0.5
+    a = V3(safe_sqrt(half.x), safe_sqrt(half.y), safe_sqrt(half.z))
+    t2 = a * (2.0 * ci)
+    rs = (t1 - t2) / (t1 + t2).maximum(1e-20)
+    t3 = a2b2 * ci2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * ((t3 - t4) / (t3 + t4).maximum(1e-20))
+    return (rp + rs) * 0.5
+
+
 def fresnel_conductor(cos_theta_i: jax.Array, eta: jax.Array, k: jax.Array) -> jax.Array:
     """Exact unpolarized conductor Fresnel; eta, k are (..., 3) rgb."""
     ci = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)[..., None]

@@ -238,6 +238,122 @@ def next_block4(s: SamplerState) -> tuple[SamplerState, jax.Array]:
     return s2.replace(dim=dim + U32(4)), u
 
 
+# ---------------------------------------------------------------------------
+# Component-SoA sampler (canonical for the wavefront hot path): the 4-word
+# state rides as four flat (N,) arrays so every hash op runs at full
+# 8x128 tile density (an (N, 4) array tiles as T(4,128): half-empty tiles).
+# ---------------------------------------------------------------------------
+
+def pcg4d_words(x, y, z, w):
+    """PCG4D over four separate uint32 words (same mix as :func:`pcg4d`)."""
+    x = x.astype(U32) * U32(1664525) + U32(1013904223)
+    y = y.astype(U32) * U32(1664525) + U32(1013904223)
+    z = z.astype(U32) * U32(1664525) + U32(1013904223)
+    w = w.astype(U32) * U32(1664525) + U32(1013904223)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+@pytree_dataclass
+class Sampler3:
+    """SoA SamplerState (no MCMC table mode — PSSMLT keeps its own path)."""
+
+    pixel: jax.Array  # (N,) uint32
+    sample: jax.Array  # (N,) uint32
+    b0: jax.Array  # (N,) uint32 hashed base words
+    b1: jax.Array
+    b2: jax.Array
+    b3: jax.Array
+    dim: jax.Array  # (N,) uint32
+    seed: jax.Array  # () or (N,) uint32
+    kind: int = static_field(default=INDEPENDENT)
+    spp: int = static_field(default=1)
+
+
+def make_sampler_v(pixel, sample, seed, kind=INDEPENDENT, spp=1) -> Sampler3:
+    pixel = jnp.asarray(pixel).astype(U32)
+    sample = jnp.broadcast_to(jnp.asarray(sample).astype(U32), pixel.shape)
+    seed = jnp.asarray(seed).astype(U32)
+    b0, b1, b2, b3 = pcg4d_words(
+        pixel, sample, jnp.broadcast_to(seed, pixel.shape),
+        jnp.full_like(pixel, U32(0x9E3779B9)),
+    )
+    return Sampler3(
+        pixel=pixel, sample=sample, b0=b0, b1=b1, b2=b2, b3=b3,
+        dim=jnp.zeros_like(pixel), seed=seed, kind=kind, spp=spp,
+    )
+
+
+def _lds_pair_v(s: Sampler3, dim0):
+    """SoA :func:`_lds_pair`: returns (u0, u1) flat arrays."""
+    from . import qmc
+
+    i = s.sample.astype(U32)
+    pair = (dim0 >> 1).astype(U32)
+    pix = s.pixel.astype(U32)
+    sd = jnp.broadcast_to(jnp.asarray(s.seed, U32), pix.shape)
+    s0, s1, s2, s3 = pcg4d_words(pix, sd, jnp.broadcast_to(pair, pix.shape),
+                                 jnp.full_like(pix, U32(77)))
+    b0, b1 = qmc.sobol02_bits(i)
+    u0 = qmc.bits_to_unit(qmc.owen_scramble(b0, s0))
+    u1 = qmc.bits_to_unit(qmc.owen_scramble(b1, s1))
+
+    if s.kind == HALTON:
+        h0 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 2), s2))
+        h1 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 3), s3))
+        first = dim0 == 0
+        u0 = jnp.where(first, h0, u0)
+        u1 = jnp.where(first, h1, u1)
+    elif s.kind == HAMMERSLEY:
+        rot = _to_unit_float(s2)
+        h0 = jnp.mod(i.astype(jnp.float32) / jnp.float32(max(s.spp, 1)) + rot,
+                     1.0)
+        h1 = qmc.bits_to_unit(
+            qmc.owen_scramble(qmc.radical_inverse_bits(i, 2), s3))
+        first = dim0 == 0
+        u0 = jnp.where(first, h0, u0)
+        u1 = jnp.where(first, h1, u1)
+    return u0, u1
+
+
+def next_block4_v(s: Sampler3):
+    """Draw 4 dimensions with ONE word-wise hash; returns
+    (sampler, (u0, u1, u2, u3)) of flat arrays."""
+    dim = (s.dim + U32(3)) & ~U32(3)
+    s2 = s.replace(dim=dim + U32(4))
+    x, y, z, w = pcg4d_words(s.b0, s.b1, s.b2 ^ dim, s.b3)
+    u0, u1, u2, u3 = (_to_unit_float(t) for t in (x, y, z, w))
+    if s.kind == STRATIFIED:
+        import math
+
+        res_x = max(int(math.isqrt(s.spp)), 1)
+        res_y = max(s.spp // res_x, 1)
+        n = res_x * res_y
+        idx = (s.sample % U32(n)).astype(jnp.float32)
+        sx = jnp.mod(idx, float(res_x))
+        sy = jnp.floor(idx / float(res_x))
+        first = dim == 0
+        u0 = jnp.where(first, (sx + u0) / res_x, u0)
+        u1 = jnp.where(first, (sy + u1) / res_y, u1)
+    elif s.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
+        u0, u1 = _lds_pair_v(s, dim)
+        u2, u3 = _lds_pair_v(s, dim + U32(2))
+    return s2, (u0, u1, u2, u3)
+
+
 def next_1d(s: SamplerState) -> tuple[SamplerState, jax.Array]:
     u = _to_unit_float(s.draw_bits(1)[..., 0])
     return s.replace(dim=s.dim + U32(1)), u

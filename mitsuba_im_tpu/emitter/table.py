@@ -491,3 +491,342 @@ def emitted_radiance(em: EmitterTable, shape_emitter_id, n_surf, wo_world) -> ja
     front = m.dot(n_surf, wo_world) > 0
     valid = (shape_emitter_id != INVALID) & (eb["type"] == EM_AREA) & front
     return jnp.where(valid[..., None], eb["radiance"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Component-SoA API (canonical for the wavefront hot path)
+# ---------------------------------------------------------------------------
+
+class DirectSample3(NamedTuple):
+    d: object  # V3 unit direction ref -> emitter
+    dist: jax.Array
+    value: object  # V3 emitted radiance (delta: intensity/r^2)
+    pdf: jax.Array  # solid-angle pdf incl. selection (delta: discrete)
+    delta: jax.Array  # bool
+    n: object  # V3 emitter surface normal at sampled point
+    emitter: jax.Array  # int32
+
+
+def _rot_v(mat: jax.Array, d):
+    """Apply a 3x3 scalar rotation to a V3 (matvec as fused scalar ops)."""
+    from ..core.v3 import V3
+
+    return V3(
+        mat[0, 0] * d.x + mat[0, 1] * d.y + mat[0, 2] * d.z,
+        mat[1, 0] * d.x + mat[1, 1] * d.y + mat[1, 2] * d.z,
+        mat[2, 0] * d.x + mat[2, 1] * d.y + mat[2, 2] * d.z,
+    )
+
+
+def _env_uv_from_dir_v(em: EmitterTable, d):
+    dl = _rot_v(em.env_to_local, d)
+    u = jnp.arctan2(dl.x, -dl.z) * (0.5 / jnp.pi)
+    u = jnp.where(u < 0, u + 1.0, u)
+    vv = jnp.arccos(jnp.clip(dl.y, -1.0, 1.0)) / jnp.pi
+    return u, vv
+
+
+def _env_dir_from_uv_v(em: EmitterTable, u, vv):
+    from ..core.v3 import V3
+
+    phi = u * 2.0 * jnp.pi
+    theta = vv * jnp.pi
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    d_local = V3(st * jnp.sin(phi), ct, -st * jnp.cos(phi))
+    return _rot_v(em.env_to_world, d_local)
+
+
+def _env_lookup_v(em: EmitterTable, u, vv, scale):
+    from ..core.v3 import V3
+
+    H, W = em.env_rows.shape[:2]
+    fx = u * W - 0.5
+    fy = vv * H - 0.5
+    x0 = jnp.floor(fx).astype(Int)
+    y0 = jnp.floor(fy).astype(Int)
+    dx = fx - x0
+    dy = fy - y0
+
+    def texel(x, y):
+        x = jnp.mod(x, W)
+        y = jnp.clip(y, 0, H - 1)
+        return V3.from_array(em.env_rows[y, x])
+
+    return scale * (
+        texel(x0, y0) * ((1 - dx) * (1 - dy))
+        + texel(x0 + 1, y0) * (dx * (1 - dy))
+        + texel(x0, y0 + 1) * ((1 - dx) * dy)
+        + texel(x0 + 1, y0 + 1) * (dx * dy)
+    )
+
+
+def eval_environment_v(em: EmitterTable, d_world):
+    """SoA evalEnvironment: d_world is V3 -> V3 radiance."""
+    from ..core import v3 as v
+
+    if em.env_index < 0 or em.n_emitters == 0:
+        return v.zeros(d_world.x.shape)
+    i = em.env_index
+    rad = v.V3(em.radiance[i, 0], em.radiance[i, 1], em.radiance[i, 2])
+    is_const = em.type[i] == EM_CONSTANT
+    u, vv = _env_uv_from_dir_v(em, d_world)
+    envval = _env_lookup_v(em, u, vv, rad)
+    return v.where(is_const, rad.broadcast_to(d_world.x.shape), envval)
+
+
+def env_pdf_sa_v(em: EmitterTable, d_world) -> jax.Array:
+    if em.env_index < 0:
+        return jnp.zeros(d_world.x.shape, Float)
+    i = em.env_index
+    is_const = em.type[i] == EM_CONSTANT
+    u, vv = _env_uv_from_dir_v(em, d_world)
+    pdf_uv = em.env_dist.pdf_continuous(jnp.stack([u, vv], axis=-1))
+    theta = vv * jnp.pi
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf_env = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return jnp.where(is_const, warp.INV_FOURPI, pdf_env)
+
+
+def pdf_direct_env_v(em: EmitterTable, d_world) -> jax.Array:
+    if em.env_index < 0:
+        return jnp.zeros(d_world.x.shape, Float)
+    return env_pdf_sa_v(em, d_world) * em.select.pmf[em.env_index]
+
+
+def pdf_direct_area_v(em: EmitterTable, emitter_id, ref_p, p_emit,
+                      n_emit) -> jax.Array:
+    """SoA Scene::pdfEmitterDirect for area emitters (V3 positions)."""
+    from ..core import v3 as v
+
+    if em.n_emitters == 0:
+        return jnp.zeros(ref_p.x.shape, Float)
+    eid = jnp.where(emitter_id == INVALID, 0, emitter_id)
+    pmf = v.gather_col(em.select.pmf, eid)
+    total_area = v.gather_col(em.total_area, eid)
+    etype = v.gather_col(em.type, eid)
+    dvec = p_emit - ref_p
+    r2 = jnp.maximum(dvec.dot(dvec), 1e-12)
+    du = dvec * jax.lax.rsqrt(r2)
+    cos_e = n_emit.dot(-du)
+    pdf_sa = (1.0 / jnp.maximum(total_area, 1e-12)) * r2 / jnp.maximum(
+        cos_e, 1e-8)
+    valid = (emitter_id != INVALID) & (etype == EM_AREA) & (cos_e > 1e-6)
+    return jnp.where(valid, pdf_sa * pmf, 0.0)
+
+
+def emitted_radiance_v(em: EmitterTable, shape_emitter_id, n_surf, wo_world):
+    """SoA Le(x, wo) for area-emitter hits (front side only)."""
+    from ..core import v3 as v
+
+    if em.n_emitters == 0:
+        return v.zeros(wo_world.x.shape)
+    eid = jnp.where(shape_emitter_id == INVALID, 0, shape_emitter_id)
+    etype = v.gather_col(em.type, eid)
+    rad = v.gather_v3(em.radiance, eid)
+    front = n_surf.dot(wo_world) > 0
+    valid = (shape_emitter_id != INVALID) & (etype == EM_AREA) & front
+    return v.V3(jnp.where(valid, rad.x, 0.0), jnp.where(valid, rad.y, 0.0),
+                jnp.where(valid, rad.z, 0.0))
+
+
+def _sample_area_position_v(em: EmitterTable, geom: Geometry, eid,
+                            u2a, u2b, kind, prim, total_area):
+    """SoA uniform-by-area emitter point; returns (p, n, pdf_area) with V3."""
+    from ..core import v3 as v
+
+    kinds = em.used_area_kinds or (AK_TRIMESH,)
+    shape = u2a.shape
+    p = v.zeros(shape)
+    n = v.zeros(shape)
+
+    if AK_TRIMESH in kinds:
+        Tm = em.tri_idx.shape[1]
+        single = em.tri_cdf.shape[0] == 1
+        u0 = u2a
+        if single:
+            cdf = em.tri_cdf[0]
+            if Tm <= v.SELECT_MAX:
+                li = jnp.zeros(shape, Int)
+                for k in range(1, Tm + 1):
+                    li = li + (cdf[k] <= u0).astype(Int)
+            else:
+                li = jnp.sum(cdf[1:][None, :] <= u0[..., None], axis=-1)
+            li = jnp.clip(li, 0, Tm - 1).astype(Int)
+            lo = v.gather_col(cdf, li)
+            hi = v.gather_col(cdf, li + 1)
+            tri = v.gather_col(em.tri_idx[0], li)
+        else:
+            cdf = em.tri_cdf[eid]
+            li = jnp.sum(cdf[..., 1:] <= u0[..., None], axis=-1)
+            li = jnp.clip(li, 0, Tm - 1).astype(Int)
+            lo = jnp.take_along_axis(cdf, li[..., None], axis=-1)[..., 0]
+            hi = jnp.take_along_axis(cdf, (li + 1)[..., None], axis=-1)[..., 0]
+            tri = em.tri_idx[eid, li]
+        u0r = jnp.clip((u0 - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        b0, b1 = v.square_to_uniform_triangle(u0r, u2b)
+        from ..scene.geometry import _gather3_v
+
+        p0 = _gather3_v(geom.tri_p0, tri)
+        e1 = _gather3_v(geom.tri_e1, tri)
+        e2 = _gather3_v(geom.tri_e2, tri)
+        p_tri = p0 + e1 * b0 + e2 * b1
+        n_tri = e1.cross(e2).normalized()
+        sel = kind == AK_TRIMESH
+        p = v.where(sel, p_tri, p)
+        n = v.where(sel, n_tri, n)
+
+    if AK_SPHERE in kinds:
+        from ..scene.geometry import _gather3_v
+
+        dir_s = v.square_to_uniform_sphere(u2a, u2b)
+        sc = _gather3_v(geom.sph_center, prim)
+        sr = v.gather_col(geom.sph_radius, prim) \
+            if geom.sph_radius.shape[0] <= v.SELECT_MAX else geom.sph_radius[prim]
+        p_sph = sc + dir_s * sr
+        sel = kind == AK_SPHERE
+        p = v.where(sel, p_sph, p)
+        n = v.where(sel, dir_s, n)
+
+    if AK_DISK in kinds:
+        from ..scene.geometry import _gather3_v
+
+        pd = warp.square_to_uniform_disk_concentric(
+            jnp.stack([u2a, u2b], axis=-1))
+        dc = _gather3_v(geom.disk_center, prim)
+        dsx = _gather3_v(geom.disk_s, prim)
+        dtx = _gather3_v(geom.disk_t, prim)
+        dnx = _gather3_v(geom.disk_n, prim)
+        dr = v.gather_col(geom.disk_radius, prim) \
+            if geom.disk_radius.shape[0] <= v.SELECT_MAX else geom.disk_radius[prim]
+        p_disk = dc + dsx * (pd[..., 0] * dr) + dtx * (pd[..., 1] * dr)
+        sel = kind == AK_DISK
+        p = v.where(sel, p_disk, p)
+        n = v.where(sel, dnx, n)
+
+    pdf_area = 1.0 / jnp.maximum(total_area, 1e-12)
+    return p, n, pdf_area
+
+
+def sample_direct_v(em: EmitterTable, geom: Geometry, ref_p, u_sel,
+                    u2a, u2b) -> DirectSample3:
+    """SoA Scene::sampleEmitterDirect: ref_p is V3, uniforms flat (N,)."""
+    from ..core import v3 as v
+
+    shape = ref_p.x.shape
+    if em.n_emitters == 0:
+        z = jnp.zeros(shape, Float)
+        return DirectSample3(
+            d=v.zeros(shape), dist=z, value=v.zeros(shape), pdf=z,
+            delta=jnp.zeros(shape, bool), n=v.zeros(shape),
+            emitter=jnp.full(shape, INVALID, Int),
+        )
+
+    if em.select.pmf.shape[0] == 1:
+        eid = jnp.zeros(shape, Int)
+        sel_pmf = jnp.ones(shape, Float)
+    else:
+        eid, sel_pmf = em.select.sample(u_sel)
+
+    etype = v.gather_col(em.type, eid)
+    radiance = v.gather_v3(em.radiance, eid)
+    intensity = v.gather_v3(em.intensity, eid)
+    position = v.gather_v3(em.position, eid)
+    direction = v.gather_v3(em.direction, eid)
+    kind = v.gather_col(em.area_kind, eid)
+    prim = v.gather_col(em.prim, eid)
+    total_area = v.gather_col(em.total_area, eid)
+
+    d = v.zeros(shape)
+    dist = jnp.full(shape, 1.0, Float)
+    value = v.zeros(shape)
+    pdf = jnp.zeros(shape, Float)
+    delta = jnp.zeros(shape, bool)
+    n_out = v.zeros(shape)
+
+    far = 2.0 * em.bsphere_radius + 1.0
+
+    for t in em.used_types:
+        selm = etype == t
+        if t == EM_AREA:
+            p_s, n_s, pos_pdf_a = _sample_area_position_v(
+                em, geom, eid, u2a, u2b, kind, prim, total_area)
+            dvec = p_s - ref_p
+            r2 = jnp.maximum(dvec.dot(dvec), 1e-12)
+            r = jnp.sqrt(r2)
+            du = dvec * (1.0 / r)
+            cos_emit = n_s.dot(-du)
+            front = cos_emit > 1e-6
+            pdf_sa = pos_pdf_a * r2 / jnp.maximum(cos_emit, 1e-8)
+            val = v.where(front, radiance, v.zeros(shape))
+            d, dist, value, pdf, delta, n_out = _sel6_v(
+                selm, (du, r, val, jnp.where(front, pdf_sa, 0.0),
+                       jnp.zeros(shape, bool), n_s),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t in (EM_POINT, EM_SPOT):
+            dvec = position - ref_p
+            r2 = jnp.maximum(dvec.dot(dvec), 1e-12)
+            r = jnp.sqrt(r2)
+            du = dvec * (1.0 / r)
+            val = intensity * (1.0 / r2)
+            if t == EM_SPOT:
+                cd = (-du).dot(direction)
+                cc = v.gather_col(em.cos_cutoff, eid)
+                cf = v.gather_col(em.cos_falloff, eid)
+                fall = jnp.clip((cd - cc) / jnp.maximum(cf - cc, 1e-6),
+                                0.0, 1.0)
+                val = val * jnp.where(cd > cc, fall, 0.0)
+            d, dist, value, pdf, delta, n_out = _sel6_v(
+                selm, (du, r, val, jnp.ones(shape), jnp.ones(shape, bool),
+                       -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t == EM_DIRECTIONAL:
+            du = (-direction).broadcast_to(shape)
+            val = intensity.broadcast_to(shape)
+            d, dist, value, pdf, delta, n_out = _sel6_v(
+                selm,
+                (du, jnp.full(shape, far), val, jnp.ones(shape),
+                 jnp.ones(shape, bool), -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t in (EM_CONSTANT, EM_ENVMAP):
+            if t == EM_CONSTANT:
+                du = v.square_to_uniform_sphere(u2a, u2b)
+                val = radiance.broadcast_to(shape)
+                pdf_sa = jnp.full(shape, warp.INV_FOURPI, Float)
+            else:
+                uv, pdf_uv = em.env_dist.sample_continuous(
+                    jnp.stack([u2a, u2b], axis=-1))
+                uu, vv = uv[..., 0], uv[..., 1]
+                du = _env_dir_from_uv_v(em, uu, vv)
+                theta = vv * jnp.pi
+                sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+                pdf_sa = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+                val = _env_lookup_v(em, uu, vv, radiance)
+            d, dist, value, pdf, delta, n_out = _sel6_v(
+                selm,
+                (du, jnp.full(shape, far), val, pdf_sa,
+                 jnp.zeros(shape, bool), -du),
+                (d, dist, value, pdf, delta, n_out),
+            )
+        elif t == EM_COLLIMATED:
+            # measure-zero beam: direct sampling hits it with prob 0
+            continue
+
+    return DirectSample3(
+        d=d, dist=dist, value=value, pdf=pdf * sel_pmf, delta=delta,
+        n=n_out, emitter=eid.astype(Int),
+    )
+
+
+def _sel6_v(mask, new, old):
+    from ..core import v3 as v
+
+    out = []
+    for nv, ov in zip(new, old):
+        if isinstance(nv, v.V3):
+            out.append(v.where(mask, nv, ov))
+        else:
+            out.append(jnp.where(mask, nv, ov))
+    return tuple(out)

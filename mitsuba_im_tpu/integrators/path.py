@@ -13,6 +13,12 @@ over bounces with masked inactive lanes — static shapes, no divergence
 beyond lane masking, everything fused by XLA.  The loop body is wrapped in
 ``jax.checkpoint`` so reverse-mode differentiation re-runs the wavefront
 (path-replay backprop) instead of storing per-bounce intermediates.
+
+The canonical implementation is component-SoA (:func:`path_li_v`): every
+3-vector is a V3 of flat (N,) arrays so all math runs at full 8x128 tile
+density — profiled ~2x faster than the (N, 3)-array formulation, whose
+dot-product reduce fusions and T(4,128)/T(1,128) tiles dominated the pass.
+:func:`path_li` wraps it for (N, 3)-array callers.
 """
 from __future__ import annotations
 
@@ -20,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import pytree_dataclass, static_field, Float, Int, INVALID, EPSILON, SHADOW_EPSILON
-from ..core import math as m
+from ..core import v3 as v
+from ..core.v3 import V3, safe_div
 from ..core import rng as mrng
-from ..bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
+from ..bsdf.eval import bsdf_eval_v, bsdf_pdf_v, bsdf_sample_v
 from ..emitter import table as em
 from ..scene.scene import Scene
 
@@ -41,40 +48,40 @@ def mi_weight(pdf_a, pdf_b):
     """Power heuristic (path.cpp:292)."""
     a2 = pdf_a * pdf_a
     b2 = pdf_b * pdf_b
-    return m.safe_div(a2, a2 + b2)
+    return safe_div(a2, a2 + b2)
 
 
-def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
-            d: jax.Array, cfg: PathConfig):
-    """Trace a batch of primary rays to completion.
+def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
+              cfg: PathConfig):
+    """Trace a batch of primary rays to completion (component-SoA).
 
-    Returns (radiance (N, 3), sampler) — the sampler is advanced by a fixed
-    number of dimensions per bounce so replay is deterministic.
+    Returns (radiance V3 of (N,) components, sampler) — the sampler is
+    advanced by a fixed number of dimensions per bounce so replay is
+    deterministic.
     """
-    n = o.shape[0]
-    max_depth = cfg.max_depth if cfg.max_depth > 0 else cfg.depth_budget
-    n_iters = max(max_depth - 1, 0) if cfg.max_depth > 0 else cfg.depth_budget
+    n = o.x.shape[0]
+    n_iters = max(cfg.max_depth - 1, 0) if cfg.max_depth > 0 else cfg.depth_budget
 
-    li = jnp.zeros((n, 3), Float)
-    thr = jnp.ones((n, 3), Float)
+    li = v.zeros((n,))
+    thr = v.ones((n,))
 
-    hit = scene.ray_intersect(o, d)
-    it = scene.interaction(o, d, hit)
+    hit = scene.ray_intersect_v(o, d)
+    it = scene.interaction_v(o, d, hit)
 
     # directly visible emitters / environment (depth-1 contributions)
     esc = ~it.valid
     if not cfg.hide_emitters:
-        li = li + jnp.where(esc[..., None], thr * em.eval_environment(scene.emitters, d), 0.0)
-        eid0 = scene.emitter_at(it)
-        le0 = em.emitted_radiance(scene.emitters, eid0, it.ns, -d)
-        li = li + jnp.where(it.valid[..., None], thr * le0, 0.0)
-
-    active = it.valid
+        env = em.eval_environment_v(scene.emitters, d)
+        li = li + v.where(esc, thr * env, v.zeros((n,)))
+        eid0 = scene.emitter_at_id(it.shape)
+        le0 = em.emitted_radiance_v(scene.emitters, eid0, it.ns, -d)
+        li = li + v.where(it.valid, thr * le0, v.zeros((n,)))
 
     state = dict(
-        li=li, thr=thr, eta=jnp.ones((n,), Float), active=active,
+        li=li, thr=thr, eta=jnp.ones((n,), Float), active=it.valid,
         scattered=jnp.zeros((n,), bool),
-        p=it.p, ns=it.ns, ng=it.ng, ss=it.ss, ts=it.ts_, uv=it.uv,
+        p=it.p, ns=it.ns, ng=it.ng, ss=it.ss, ts=it.ts_,
+        uv_u=it.uv_u, uv_v=it.uv_v,
         shape=it.shape, wi_local=it.wi_local, d_world=d,
         sampler=sampler,
     )
@@ -84,11 +91,12 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         s = st["sampler"]
         frame = (st["ss"], st["ts"], st["ns"])
         act = st["active"]
+        fake_it = _fake_it_v(st)
         if scene.bsdfs.unwrap_depth > 0:
-            s, sel_blk = mrng.next_block4(s)
-            bparams = scene.bsdf_at(_fake_it(st), u_sel=sel_blk[..., 0])
+            s, sel_blk = mrng.next_block4_v(s)
+            bparams = scene.bsdf_at_v(fake_it, u_sel=sel_blk[0])
         else:
-            bparams = scene.bsdf_at(_fake_it(st))
+            bparams = scene.bsdf_at_v(fake_it)
 
         # --- subsurface scattering (its.LoSub analog) ----------------------
         st_li0 = st["li"]
@@ -96,80 +104,81 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
             from ..subsurface import eval_lo
 
             ss_id = scene.subsurface_at(st["shape"], act)
-            lo_sub = eval_lo(scene.subsurface, st["p"],
-                             jnp.abs(st["wi_local"][..., 2]), ss_id)
-            st_li0 = st_li0 + jnp.where(act[..., None], st["thr"] * lo_sub, 0.0)
+            lo_sub = V3.from_array(eval_lo(
+                scene.subsurface, st["p"].to_array(),
+                jnp.abs(st["wi_local"].z), ss_id))
+            st_li0 = st_li0 + v.where(act, st["thr"] * lo_sub, v.zeros((n,)))
 
         # --- next-event estimation (sampleEmitterDirect, path.cpp:176) ----
-        s, nee_blk = mrng.next_block4(s)
-        ds = em.sample_direct(
-            scene.emitters, scene.geom, st["p"], nee_blk[..., 0], nee_blk[..., 1:3]
+        s, nee_blk = mrng.next_block4_v(s)
+        ds = em.sample_direct_v(
+            scene.emitters, scene.geom, st["p"],
+            nee_blk[0], nee_blk[1], nee_blk[2],
         )
-        wo_local_nee = m.Frame.to_local(frame, ds.d)
-        f_nee = bsdf_eval(bparams, st["wi_local"], wo_local_nee)
-        pdf_bsdf_nee = bsdf_pdf(bparams, st["wi_local"], wo_local_nee)
-        can_nee = act & (ds.pdf > 0) & (jnp.sum(f_nee, axis=-1) > 0)
-        shadow_o = st["p"]
-        occ = scene.occluded(
-            shadow_o, ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON)
+        wo_local_nee = v.to_local(frame, ds.d)
+        f_nee = bsdf_eval_v(bparams, st["wi_local"], wo_local_nee)
+        pdf_bsdf_nee = bsdf_pdf_v(bparams, st["wi_local"], wo_local_nee)
+        can_nee = act & (ds.pdf > 0) & (f_nee.sum() > 0)
+        occ = scene.occluded_v(
+            st["p"], ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON)
         )
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_bsdf_nee))
-        contrib = st["thr"] * ds.value * f_nee * m.safe_div(w_nee, ds.pdf)[..., None]
-        st_li = st_li0 + jnp.where((can_nee & ~occ)[..., None], contrib, 0.0)
+        contrib = st["thr"] * ds.value * f_nee * safe_div(w_nee, ds.pdf)
+        st_li = st_li0 + v.where(can_nee & ~occ, contrib, v.zeros((n,)))
 
         # --- BSDF sampling (path.cpp:211) ---------------------------------
-        s, bsdf_blk = mrng.next_block4(s)
-        bs = bsdf_sample(bparams, st["wi_local"], bsdf_blk[..., 0],
-                         bsdf_blk[..., 1:3], bsdf_blk[..., 3])
-        wo_world = m.Frame.to_world(frame, bs.wo)
+        s, bsdf_blk = mrng.next_block4_v(s)
+        bs = bsdf_sample_v(bparams, st["wi_local"], bsdf_blk[0],
+                           bsdf_blk[1], bsdf_blk[2], bsdf_blk[3])
+        wo_world = v.to_world(frame, bs.wo)
         thr_new = st["thr"] * bs.weight
-        dead = jnp.sum(thr_new, axis=-1) <= 0
+        dead = thr_new.sum() <= 0
         act2 = act & ~dead
         scattered = st["scattered"] | (act & ~bs.null_passthrough)
         eta_new = st["eta"] * bs.eta
 
         # extend the path
         o2 = st["p"]
-        hit2 = scene.ray_intersect(o2, wo_world)
-        it2 = scene.interaction(o2, wo_world, hit2)
+        hit2 = scene.ray_intersect_v(o2, wo_world)
+        it2 = scene.interaction_v(o2, wo_world, hit2)
 
         # emitter hit / environment with MIS (path.cpp:249-266)
-        eid2 = scene.emitter_at(it2)
-        le2 = em.emitted_radiance(scene.emitters, eid2, it2.ns, -wo_world)
-        lum_pdf_area = em.pdf_direct_area(
+        eid2 = scene.emitter_at_id(it2.shape)
+        le2 = em.emitted_radiance_v(scene.emitters, eid2, it2.ns, -wo_world)
+        lum_pdf_area = em.pdf_direct_area_v(
             scene.emitters, eid2, st["p"], it2.p, it2.ns
         )
         esc2 = ~it2.valid
-        env_val = em.eval_environment(scene.emitters, wo_world)
-        env_pdf = em.pdf_direct_env(scene.emitters, wo_world)
+        env_val = em.eval_environment_v(scene.emitters, wo_world)
+        env_pdf = em.pdf_direct_env_v(scene.emitters, wo_world)
 
-        lum_pdf = jnp.where(bs.delta, 0.0, jnp.where(esc2, env_pdf, lum_pdf_area))
+        lum_pdf = jnp.where(bs.delta, 0.0,
+                            jnp.where(esc2, env_pdf, lum_pdf_area))
         w_bsdf = mi_weight(bs.pdf, lum_pdf)
-        hit_val = jnp.where(esc2[..., None], env_val, le2)
+        hit_val = v.where(esc2, env_val, le2)
         hide = cfg.hide_emitters & ~scattered
-        st_li = st_li + jnp.where(
-            (act2 & ~hide)[..., None], thr_new * hit_val * w_bsdf[..., None], 0.0
+        st_li = st_li + v.where(
+            act2 & ~hide, thr_new * hit_val * w_bsdf, v.zeros((n,))
         )
 
         act3 = act2 & it2.valid
 
         # --- Russian roulette (path.cpp:276-290) ---------------------------
         depth = depth_idx + 1  # reference depth counter before increment
-        s, rr_blk = mrng.next_block4(s)
-        u_rr = rr_blk[..., 0]
-        q = jnp.minimum(
-            jnp.max(thr_new, axis=-1) * eta_new * eta_new, 0.95
-        )
+        s, rr_blk = mrng.next_block4_v(s)
+        u_rr = rr_blk[0]
+        q = jnp.minimum(thr_new.max_c() * eta_new * eta_new, 0.95)
         do_rr = depth >= cfg.rr_depth
         kill = do_rr & (u_rr >= q)
-        thr_new = jnp.where(
-            (do_rr & ~kill)[..., None], thr_new / jnp.maximum(q, 1e-6)[..., None], thr_new
-        )
+        boost = 1.0 / jnp.maximum(q, 1e-6)
+        thr_new = v.where(do_rr & ~kill, thr_new * boost, thr_new)
         act3 = act3 & ~kill
 
         return dict(
-            li=st_li, thr=thr_new, eta=eta_new, active=act3, scattered=scattered,
-            p=it2.p, ns=it2.ns, ng=it2.ng, ss=it2.ss, ts=it2.ts_, uv=it2.uv,
+            li=st_li, thr=thr_new, eta=eta_new, active=act3,
+            scattered=scattered,
+            p=it2.p, ns=it2.ns, ng=it2.ng, ss=it2.ss, ts=it2.ts_,
+            uv_u=it2.uv_u, uv_v=it2.uv_v,
             shape=it2.shape, wi_local=it2.wi_local, d_world=wo_world,
             sampler=s,
         )
@@ -181,8 +190,21 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
     return state["li"], state["sampler"]
 
 
+def _fake_it_v(st):
+    """Adapter: scene.bsdf_at_v consumes an Interaction3-shaped object."""
+    from ..scene.geometry import Interaction3
+
+    return Interaction3(
+        p=st["p"], t=jnp.zeros(st["uv_u"].shape, Float), ng=st["ng"],
+        ns=st["ns"], ss=st["ss"], ts_=st["ts"], uv_u=st["uv_u"],
+        uv_v=st["uv_v"], wi_local=st["wi_local"], shape=st["shape"],
+        valid=st["active"],
+    )
+
+
 def _fake_it(st):
-    """Adapter: scene.bsdf_at consumes an Interaction-shaped object."""
+    """Adapter for (N, 3)-array integrators: scene.bsdf_at consumes an
+    Interaction-shaped object."""
     from ..scene.geometry import Interaction
 
     return Interaction(
@@ -190,3 +212,21 @@ def _fake_it(st):
         ns=st["ns"], ss=st["ss"], ts_=st["ts"], uv=st["uv"],
         wi_local=st["wi_local"], shape=st["shape"], valid=st["active"],
     )
+
+
+def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
+            d: jax.Array, cfg: PathConfig):
+    """(N, 3)-array wrapper around :func:`path_li_v`.
+
+    The SamplerState and Sampler3 hash streams are bitwise identical, so
+    existing callers (and checkpointed renders) see unchanged images.
+    """
+    s3 = mrng.Sampler3(
+        pixel=sampler.pixel, sample=sampler.sample,
+        b0=sampler.base[..., 0], b1=sampler.base[..., 1],
+        b2=sampler.base[..., 2], b3=sampler.base[..., 3],
+        dim=sampler.dim, seed=sampler.seed,
+        kind=sampler.kind, spp=sampler.spp,
+    )
+    li, s3 = path_li_v(scene, s3, V3.from_array(o), V3.from_array(d), cfg)
+    return li.to_array(), sampler.replace(dim=s3.dim)

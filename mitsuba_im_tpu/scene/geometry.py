@@ -95,6 +95,49 @@ class Interaction:
         return m.Frame.to_world((self.ss, self.ts_, self.ns), v)
 
 
+@pytree_dataclass
+class Interaction3:
+    """Component-SoA shading-point record (canonical hot-path form).
+
+    Same information as :class:`Interaction` but every 3-vector is a
+    :class:`~mitsuba_im_tpu.core.v3.V3` of flat (N,) components and ``uv``
+    is split into two flat arrays — full 8x128 tile density everywhere.
+    """
+
+    p: object  # V3
+    t: jax.Array
+    ng: object  # V3
+    ns: object  # V3
+    ss: object  # V3
+    ts_: object  # V3
+    uv_u: jax.Array
+    uv_v: jax.Array
+    wi_local: object  # V3
+    shape: jax.Array  # int32
+    valid: jax.Array  # bool
+
+    def to_local(self, w):
+        from ..core import v3 as v
+
+        return v.to_local((self.ss, self.ts_, self.ns), w)
+
+    def to_world(self, w):
+        from ..core import v3 as v
+
+        return v.to_world((self.ss, self.ts_, self.ns), w)
+
+    def to_aos(self) -> "Interaction":
+        """Adapter for not-yet-migrated consumers."""
+        return Interaction(
+            p=self.p.to_array(), t=self.t, ng=self.ng.to_array(),
+            ns=self.ns.to_array(), ss=self.ss.to_array(),
+            ts_=self.ts_.to_array(),
+            uv=jnp.stack([self.uv_u, self.uv_v], axis=-1),
+            wi_local=self.wi_local.to_array(), shape=self.shape,
+            valid=self.valid,
+        )
+
+
 def make_geometry(
     tri_data: dict | None,
     spheres: dict | None,
@@ -154,6 +197,93 @@ def make_geometry(
         disk_t=f(disks["t"]), disk_radius=f(disks["radius"]),
         disk_shape=i(disks["shape"]),
         n_tris=n_tris, n_spheres=n_spheres, n_disks=n_disks,
+    )
+
+
+def _gather3_v(tab: jax.Array, idx: jax.Array):
+    """(T, 3) table row lookup as V3 (select chain for small tables)."""
+    from ..core import v3 as v
+
+    if tab.shape[0] <= v.SELECT_MAX:
+        return v.gather_v3(tab, idx)
+    g = tab[idx]
+    return v.V3(g[..., 0], g[..., 1], g[..., 2])
+
+
+def _gather2_v(tab: jax.Array, idx: jax.Array):
+    from ..core import v3 as v
+
+    if tab.shape[0] <= v.SELECT_MAX:
+        return v.gather_col(tab[:, 0], idx), v.gather_col(tab[:, 1], idx)
+    g = tab[idx]
+    return g[..., 0], g[..., 1]
+
+
+def compute_interaction_v(geom: Geometry, o, d, hit: Hit) -> Interaction3:
+    """Component-SoA interaction: o, d are V3; all math at full density."""
+    from ..core import v3 as v
+
+    pr = hit.prim
+    is_tri = hit.kind == KIND_TRI
+    is_sph = hit.kind == KIND_SPHERE
+    is_disk = hit.kind == KIND_DISK
+    tp = jnp.where(is_tri, pr, 0)
+    sp = jnp.where(is_sph, pr, 0)
+    dp = jnp.where(is_disk, pr, 0)
+
+    p = o + d * hit.t
+
+    # --- triangle attributes ---
+    e1 = _gather3_v(geom.tri_e1, tp)
+    e2 = _gather3_v(geom.tri_e2, tp)
+    n0 = _gather3_v(geom.tri_n0, tp)
+    n1 = _gather3_v(geom.tri_n1, tp)
+    n2 = _gather3_v(geom.tri_n2, tp)
+    uv0u, uv0v = _gather2_v(geom.tri_uv0, tp)
+    uv1u, uv1v = _gather2_v(geom.tri_uv1, tp)
+    uv2u, uv2v = _gather2_v(geom.tri_uv2, tp)
+    ng_tri = e1.cross(e2).normalized()
+    w = 1.0 - hit.u - hit.v
+    ns_tri = (n0 * w + n1 * hit.u + n2 * hit.v).normalized()
+    uvu_tri = uv0u * w + uv1u * hit.u + uv2u * hit.v
+    uvv_tri = uv0v * w + uv1v * hit.u + uv2v * hit.v
+
+    # --- sphere attributes ---
+    sc = _gather3_v(geom.sph_center, sp)
+    ns_sph = (p - sc).normalized()
+    theta, phi = v.spherical_coordinates(ns_sph)
+    uvu_sph = phi / (2 * jnp.pi)
+    uvv_sph = theta / jnp.pi
+
+    # --- disk attributes ---
+    dc = _gather3_v(geom.disk_center, dp)
+    dn = _gather3_v(geom.disk_n, dp)
+    ds = _gather3_v(geom.disk_s, dp)
+    dt = _gather3_v(geom.disk_t, dp)
+    if geom.disk_radius.shape[0] <= v.SELECT_MAX:
+        dr = v.gather_col(geom.disk_radius, dp)
+    else:
+        dr = geom.disk_radius[dp]
+    local = p - dc
+    lx = local.dot(ds)
+    ly = local.dot(dt)
+    r_ = jnp.sqrt(lx * lx + ly * ly) / jnp.maximum(dr, 1e-20)
+    phi_d = jnp.arctan2(ly, lx)
+    phi_d = jnp.where(phi_d < 0, phi_d + 2 * jnp.pi, phi_d)
+
+    ng = v.where(is_tri, ng_tri, v.where(is_sph, ns_sph, dn))
+    ns = v.where(is_tri, ns_tri, v.where(is_sph, ns_sph, dn))
+    uv_u = jnp.where(is_tri, uvu_tri, jnp.where(is_sph, uvu_sph, r_))
+    uv_v = jnp.where(is_tri, uvv_tri,
+                     jnp.where(is_sph, uvv_sph, phi_d / (2 * jnp.pi)))
+
+    ss, ts_ = v.coordinate_system(ns)
+    wi_local = v.to_local((ss, ts_, ns), -d)
+    return Interaction3(
+        p=p, t=hit.t, ng=ng, ns=ns, ss=ss, ts_=ts_, uv_u=uv_u, uv_v=uv_v,
+        wi_local=wi_local,
+        shape=jnp.where(hit.valid, hit.shape, INVALID),
+        valid=hit.valid,
     )
 
 

@@ -112,6 +112,80 @@ class Scene:
         wi_local = m.Frame.to_local((ss, ts, ns), -d)
         return it.replace(ns=ns, ss=ss, ts_=ts, wi_local=wi_local)
 
+    # -- component-SoA queries (canonical for the wavefront hot path) ------
+    def ray_intersect_v(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:
+        """o, d: V3 of flat (N,) components."""
+        return isect.intersect_v(
+            self.geom, o, d, tmin, tmax,
+            bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
+        )
+
+    def occluded_v(self, o, d, tmin, tmax) -> jax.Array:
+        return isect.occluded_v(
+            self.geom, o, d, tmin, tmax,
+            bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
+        )
+
+    def interaction_v(self, o, d, hit: Hit):
+        from .geometry import compute_interaction_v
+
+        it = compute_interaction_v(self.geom, o, d, hit)
+        if self.bsdfs.has_bump:
+            it = self._perturb_frame_v(it, d)
+        return it
+
+    def _perturb_frame_v(self, it, d):
+        """SoA bump / normal mapping (see _perturb_frame)."""
+        from ..core import v3 as v
+        from ..bsdf.common import BUMP_HEIGHT, BUMP_NORMAL
+        from ..texture.texture import eval_texture_v
+
+        sid = jnp.where(it.shape == INVALID, 0, it.shape)
+        bid = v.gather_col(self.shape_bsdf, sid)
+        bid = jnp.where(bid == INVALID, 0, bid)
+        bump_tex = v.gather_col(self.bsdfs.bump_tex, bid)
+        bump_kind = v.gather_col(self.bsdfs.bump_kind, bid)
+        bump_scale = v.gather_col(self.bsdfs.bump_scale, bid)
+        active = (bump_kind > 0) & (bump_tex != INVALID) & it.valid
+
+        eps = 5e-4
+        h0 = eval_texture_v(self.textures, bump_tex, it.uv_u, it.uv_v, None).mean()
+        hu = eval_texture_v(self.textures, bump_tex, it.uv_u + eps, it.uv_v, None).mean()
+        hv = eval_texture_v(self.textures, bump_tex, it.uv_u, it.uv_v + eps, None).mean()
+        dhdu = (hu - h0) / eps * bump_scale
+        dhdv = (hv - h0) / eps * bump_scale
+        n_height = (it.ns - it.ss * dhdu - it.ts_ * dhdv).normalized()
+
+        c = eval_texture_v(self.textures, bump_tex, it.uv_u, it.uv_v, None)
+        nt = (c * 2.0 - 1.0).normalized()
+        n_map = (it.ss * nt.x + it.ts_ * nt.y + it.ns * nt.z).normalized()
+
+        ns = v.where(bump_kind == BUMP_HEIGHT, n_height,
+                     v.where(bump_kind == BUMP_NORMAL, n_map, it.ns))
+        ns = v.where(active, ns, it.ns)
+        ns = v.where(ns.dot(it.ng) < 0, -ns, ns)
+        ss = (it.ss - ns * ns.dot(it.ss)).normalized()
+        ts = ns.cross(ss)
+        wi_local = v.to_local((ss, ts, ns), -d)
+        return it.replace(ns=ns, ss=ss, ts_=ts, wi_local=wi_local)
+
+    def bsdf_at_v(self, it, u_sel=None):
+        """SoA Interaction3 -> LaneParams3."""
+        from ..core import v3 as v
+        from ..bsdf.common import resolve_v
+
+        sid = jnp.where(it.shape == INVALID, 0, it.shape)
+        bid = v.gather_col(self.shape_bsdf, sid)
+        return resolve_v(self.bsdfs, self.textures, bid, it.uv_u, it.uv_v,
+                         u_sel)
+
+    def emitter_at_id(self, shape_id) -> jax.Array:
+        from ..core import v3 as v
+
+        sid = jnp.where(shape_id == INVALID, 0, shape_id)
+        return jnp.where(shape_id == INVALID, INVALID,
+                         v.gather_col(self.shape_emitter, sid))
+
     def bsdf_at(self, it: Interaction, u_sel=None) -> LaneParams:
         from ..core.gather import gather_rows
 

@@ -129,6 +129,66 @@ def sample_ray(sensor: Sensor, uv: jax.Array, u_lens: jax.Array):
     return o, d, jnp.ones(uv.shape[:-1], Float)
 
 
+def sample_ray_v(sensor: Sensor, uv_u, uv_v, u_lens_a, u_lens_b):
+    """Component-SoA primary-ray generation: flat (N,) film/aperture
+    coordinates -> (o: V3, d: V3, weight).  Same mapping as
+    :func:`sample_ray`."""
+    from ..core import v3 as v
+    from ..core.v3 import V3
+
+    x = (1.0 - 2.0 * uv_u) * sensor.tan_x
+    y = (1.0 - 2.0 * uv_v) * sensor.tan_y
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+
+    if sensor.type == S_PERSPECTIVE:
+        d_cam = V3(x, y, ones).normalized()
+        o_cam = v.zeros(x.shape)
+    elif sensor.type == S_THINLENS:
+        p_focus = V3(x * sensor.focus_distance, y * sensor.focus_distance,
+                     jnp.broadcast_to(sensor.focus_distance, x.shape))
+        ap = warp.square_to_uniform_disk_concentric(
+            jnp.stack([u_lens_a, u_lens_b], axis=-1)) * sensor.aperture_radius
+        o_cam = V3(ap[..., 0], ap[..., 1], zeros)
+        d_cam = (p_focus - o_cam).normalized()
+    elif sensor.type == S_ORTHOGRAPHIC or sensor.type == S_TELECENTRIC:
+        o_cam = V3((1.0 - 2.0 * uv_u) * sensor.scale_x,
+                   (1.0 - 2.0 * uv_v) * sensor.scale_y, zeros)
+        if sensor.type == S_TELECENTRIC:
+            ap = warp.square_to_uniform_disk_concentric(
+                jnp.stack([u_lens_a, u_lens_b], axis=-1)
+            ) * sensor.aperture_radius
+            o_cam = o_cam + V3(ap[..., 0], ap[..., 1], zeros)
+        d_cam = V3(zeros, zeros, ones)
+    elif sensor.type == S_SPHERICAL:
+        phi = (1.0 - 2.0 * uv_u) * jnp.pi
+        theta = uv_v * jnp.pi
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        d_cam = V3(st * jnp.sin(phi), ct, -st * jnp.cos(phi))
+        o_cam = v.zeros(x.shape)
+    elif sensor.type in (S_RADIANCEMETER, S_IRRADIANCEMETER):
+        o_cam = v.zeros(x.shape)
+        if sensor.type == S_IRRADIANCEMETER:
+            d_cam = v.square_to_cosine_hemisphere(uv_u, uv_v)
+        else:
+            d_cam = V3(zeros, zeros, ones)
+    else:
+        raise ValueError(f"unknown sensor type {sensor.type}")
+
+    tw = sensor.to_world
+    o = V3(
+        tw[0, 0] * o_cam.x + tw[0, 1] * o_cam.y + tw[0, 2] * o_cam.z + tw[0, 3],
+        tw[1, 0] * o_cam.x + tw[1, 1] * o_cam.y + tw[1, 2] * o_cam.z + tw[1, 3],
+        tw[2, 0] * o_cam.x + tw[2, 1] * o_cam.y + tw[2, 2] * o_cam.z + tw[2, 3],
+    )
+    d = V3(
+        tw[0, 0] * d_cam.x + tw[0, 1] * d_cam.y + tw[0, 2] * d_cam.z,
+        tw[1, 0] * d_cam.x + tw[1, 1] * d_cam.y + tw[1, 2] * d_cam.z,
+        tw[2, 0] * d_cam.x + tw[2, 1] * d_cam.y + tw[2, 2] * d_cam.z,
+    ).normalized()
+    return o, d, jnp.ones(x.shape, Float)
+
+
 def connect(sensor: Sensor, p: jax.Array):
     """Project world points onto the film (light-tracing connections).
 

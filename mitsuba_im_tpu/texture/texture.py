@@ -122,6 +122,96 @@ def _wrap_coord(x, n, wrap_mode):
                      jnp.where(wrap_mode == WRAP_CLAMP, clmp, mir))
 
 
+def eval_texture_v(table: TextureTable, tex_id: jax.Array, uv_u: jax.Array,
+                   uv_v: jax.Array, const_rgb=None):
+    """Component-SoA texture evaluation -> V3.
+
+    Same dispatch as :func:`eval_texture` but every intermediate is a flat
+    (N,) array (full tile density); table columns resolve through fused
+    select chains for small tables.
+    """
+    from ..core import v3 as v
+
+    tid = jnp.where(tex_id == INVALID, 0, tex_id)
+    X = table.type.shape[0]
+    small = X <= v.SELECT_MAX
+    if small:
+        gc = lambda col: v.gather_col(col, tid)
+        g3 = lambda tab: v.gather_v3(tab, tid)
+        g2 = lambda tab: (v.gather_col(tab[:, 0], tid),
+                          v.gather_col(tab[:, 1], tid))
+    else:
+        gc = lambda col: col[tid]
+        g3 = lambda tab: v.V3.from_array(tab[tid])
+        g2 = lambda tab: (tab[tid][..., 0], tab[tid][..., 1])
+
+    ttype = gc(table.type)
+    out = v.zeros(uv_u.shape)
+    su, sv = g2(table.uvscale)
+    ou, ov = g2(table.uvoffset)
+    us = uv_u * su + ou
+    vs = uv_v * sv + ov
+
+    if TEX_CONST in table.used_types:
+        out = v.where(ttype == TEX_CONST, g3(table.value0), out)
+
+    if TEX_BITMAP in table.used_types:
+        w = gc(table.width)
+        h = gc(table.height)
+        wrap = gc(table.wrap)
+        off = gc(table.offset)
+        fx = us * w.astype(Float) - 0.5
+        fy = vs * h.astype(Float) - 0.5
+        x0 = jnp.floor(fx).astype(Int)
+        y0 = jnp.floor(fy).astype(Int)
+        dx = fx - x0.astype(Float)
+        dy = fy - y0.astype(Float)
+
+        def texel(xi, yi):
+            xi = _wrap_coord(xi, w, wrap)
+            yi = _wrap_coord(yi, h, wrap)
+            idx = off + yi * jnp.maximum(w, 1) + xi
+            idx = jnp.clip(idx, 0, table.atlas.shape[0] - 1)
+            return v.V3.from_array(table.atlas[idx])
+
+        c = (
+            texel(x0, y0) * ((1 - dx) * (1 - dy))
+            + texel(x0 + 1, y0) * (dx * (1 - dy))
+            + texel(x0, y0 + 1) * ((1 - dx) * dy)
+            + texel(x0 + 1, y0 + 1) * (dx * dy)
+        )
+        out = v.where(ttype == TEX_BITMAP, c, out)
+
+    if TEX_CHECKER in table.used_types:
+        xi = jnp.floor(us * 2.0).astype(Int)
+        yi = jnp.floor(vs * 2.0).astype(Int)
+        even = jnp.mod(xi + yi, 2) == 0
+        c = v.where(even, g3(table.value0), g3(table.value1))
+        out = v.where(ttype == TEX_CHECKER, c, out)
+
+    if TEX_GRID in table.used_types:
+        lw = gc(table.param0)
+        fx = us - jnp.floor(us)
+        fy = vs - jnp.floor(vs)
+        on_line = (fx < lw) | (fx > 1 - lw) | (fy < lw) | (fy > 1 - lw)
+        c = v.where(on_line, g3(table.value1), g3(table.value0))
+        out = v.where(ttype == TEX_GRID, c, out)
+
+    if TEX_SCALE in table.used_types:
+        nested = gc(table.nested)
+        nested = jnp.where(nested == INVALID, 0, nested)
+        base = eval_texture_v(
+            table.replace(used_types=tuple(
+                t for t in table.used_types if t != TEX_SCALE)),
+            nested, uv_u, uv_v, None,
+        )
+        out = v.where(ttype == TEX_SCALE, base * g3(table.value0), out)
+
+    if const_rgb is not None:
+        out = v.where(tex_id == INVALID, const_rgb, out)
+    return out
+
+
 def eval_texture(table: TextureTable, tex_id: jax.Array, uv: jax.Array,
                  const_rgb: jax.Array | None = None) -> jax.Array:
     """Evaluate textures per lane.
