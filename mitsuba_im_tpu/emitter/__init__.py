@@ -98,33 +98,81 @@ def _envmap(props: Properties, ctx=None):
     )
 
 
-@register("emitter", "sky")
-def _sky(props: Properties, ctx=None):
-    """Hosek-Wilkie sky: current build approximates with a constant dome at
-    the model's mean radiance (full model planned)."""
-    scale = props.get_float("scale", 1.0)
-    turb = props.get_float("turbidity", 3.0)
-    mean = np.array([0.22, 0.35, 0.65]) * 20.0 * scale / max(turb, 1.0)
-    return dict(type=et.EM_CONSTANT, radiance=mean,
-                weight=props.get_float("samplingWeight", 1.0))
+def _sun_dir(props: Properties) -> np.ndarray:
+    """Sun direction from explicit ``sunDirection`` or location/time props
+    (same parameter surface as the reference's SunParameters,
+    ``src/emitters/sunsky/sunmodel.h``)."""
+    from .sunsky import sun_direction_from_time
 
-
-@register("emitter", "sun")
-def _sun(props: Properties, ctx=None):
-    scale = props.get_float("scale", 1.0)
+    if "sunDirection" in props:
+        return _unit(props.get_vector("sunDirection"))
+    d = sun_direction_from_time(
+        year=props.get_int("year", 2010), month=props.get_int("month", 7),
+        day=props.get_int("day", 10), hour=props.get_float("hour", 15.0),
+        minute=props.get_float("minute", 0.0),
+        second=props.get_float("second", 0.0),
+        latitude=props.get_float("latitude", 35.6894),
+        longitude=props.get_float("longitude", 139.6917),
+        timezone=props.get_float("timezone", 9.0),
+    )
     to_world = props.get_transform("toWorld", Transform())
-    d = props.get_vector("sunDirection", None) if "sunDirection" in props else to_world.apply_vector([0, 1, 0])
+    return _unit(to_world.apply_vector(d))
+
+
+def _sky_record(props: Properties) -> dict:
+    """Preetham sky baked into a lat-long envmap (sky.cpp architecture:
+    precompute at ``resolution``, importance-sample as a bitmap)."""
+    from .sunsky import preetham_sky_pixels
+
+    pixels = preetham_sky_pixels(
+        resolution=props.get_int("resolution", 512),
+        sun_dir=_sun_dir(props),
+        turbidity=props.get_float("turbidity", 3.0),
+        stretch=props.get_float("stretch", 1.0),
+        scale=props.get_float("scale", 1.0),
+        extend=props.get_bool("extend", True),
+    )
+    to_world = props.get_transform("toWorld", Transform())
     return dict(
-        type=et.EM_DIRECTIONAL,
-        intensity=np.array([1.0, 0.97, 0.92]) * 50.0 * scale,
-        direction=-_unit(d),
+        type=et.EM_ENVMAP,
+        radiance=np.ones(3),
+        pixels=pixels,
+        to_world_rot=to_world.m[:3, :3],
         weight=props.get_float("samplingWeight", 1.0),
     )
 
 
+def _sun_record(props: Properties) -> dict:
+    """Solar disk as a directional emitter with analytic spectral
+    extinction (sun.cpp capability; radianceScale via ``scale``)."""
+    from .sunsky import sun_radiance_rgb, sun_solid_angle
+
+    d = _sun_dir(props)
+    rad = sun_radiance_rgb(d, props.get_float("turbidity", 3.0),
+                           props.get_float("scale", 1.0))
+    omega = sun_solid_angle(props.get_float("sunRadiusScale", 1.0))
+    return dict(
+        type=et.EM_DIRECTIONAL,
+        intensity=rad * omega,  # irradiance on a sun-facing patch
+        direction=-d,
+        weight=props.get_float("samplingWeight", 1.0),
+    )
+
+
+@register("emitter", "sky")
+def _sky(props: Properties, ctx=None):
+    return _sky_record(props)
+
+
+@register("emitter", "sun")
+def _sun(props: Properties, ctx=None):
+    return _sun_record(props)
+
+
 @register("emitter", "sunsky")
 def _sunsky(props: Properties, ctx=None):
-    return _sky(props, ctx)
+    """Compound sun + sky (sunsky.cpp): returns both records."""
+    return [_sky_record(props), _sun_record(props)]
 
 
 def _unit(v):

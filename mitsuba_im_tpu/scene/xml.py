@@ -81,13 +81,16 @@ class SceneLoader:
                 self._load_scene_children(sub)
             elif tag in _PLUGIN_TAGS:
                 result = self._instantiate(el)
-                if tag == "emitter" and isinstance(result, dict):
+                if tag == "emitter" and isinstance(result, (dict, list)):
                     # standalone emitters (constant/envmap/point/...) register
-                    # directly; area emitters are attached by their shape
+                    # directly; area emitters are attached by their shape;
+                    # compound emitters (sunsky) return a record list
                     from ..emitter.table import EM_AREA
 
-                    if result.get("type") != EM_AREA:
-                        self.builder.add_emitter(result)
+                    recs = result if isinstance(result, list) else [result]
+                    for rec in recs:
+                        if rec.get("type") != EM_AREA:
+                            self.builder.add_emitter(rec)
             elif tag == "null":
                 continue
 
