@@ -130,7 +130,8 @@ def main(argv=None) -> int:
                 log=(lambda *_: None) if args.quiet else
                     (lambda *a: print(*a, flush=True)))
         elif settings.integrator in ("ptracer", "pssmlt", "erpt", "sppm",
-                                     "ppm", "bdpt", "vpl"):
+                                     "ppm", "bdpt", "vpl", "adaptive",
+                                     "multichannel", "irrcache"):
             from ..render.job import render as _render
 
             img = _render(scene, settings)

@@ -1,10 +1,11 @@
 """Integrator plugin factories (``/root/reference/src/integrators/``).
 
 Factories record the integrator name + its parameters into the render
-settings; the render layer dispatches to the matching wavefront kernel.
-Integrators whose TPU kernel is still queued (bdpt/mlt/pssmlt/erpt/photon
-mappers) currently fall back to the path tracer — same converged image for
-scenes without the specialized-transport need, flagged with a warning.
+settings; the render layer dispatches to the matching wavefront kernel
+(path/volpath/direct/ao/field/motion/ptracer/bdpt/pssmlt/erpt/photon
+mappers/vpl/adaptive/multichannel all have device implementations; the
+path-space ``mlt`` rides the primary-sample ensemble engine, and
+``irrcache`` currently delegates to its nested integrator).
 """
 from __future__ import annotations
 
@@ -100,14 +101,16 @@ def _multichannel(props: Properties, ctx=None):
 
 @register("integrator", "irrcache")
 def _irrcache(props: Properties, ctx=None):
-    warnings.warn("irrcache: running the nested integrator directly")
-    nested = props.children.get("integrator", dict(name="path"))
-    if ctx is not None:
-        ctx.settings.integrator = nested.get("name", "path")
-        ctx.settings.integrator_props = {
-            k: v for k, v in nested.items() if k != "name"
-        }
-    return nested
+    res = props.get_int("resolution", 14)  # hemisphere elevational strata
+    ip = dict(
+        quality=props.get_float("quality", 1.0),
+        # record-placement pixel stride (TPU-specific: camera-grid placement
+        # replaces the reference's on-demand octree insertion)
+        resolution=props.get_int("stride", 4),
+        irr_samples=min(3 * res * res, 1024),
+        nested=props.children.get("integrator", dict(name="path")),
+    )
+    return _set(ctx, "irrcache", ip)
 
 
 @register("integrator", "pssmlt")

@@ -1,0 +1,189 @@
+"""Irradiance caching (reference ``src/integrators/misc/irrcache*.cpp``).
+
+The reference populates an octree of irradiance records during a pre-pass
+(hemisphere-sampled irradiance + harmonic-mean distance per record,
+``librender/irrcache.cpp``) and interpolates them with Ward's weighting at
+render time.  TPU-native reframe: records live in flat SoA arrays and the
+interpolation is a *dense* (pixels x records) weighted gather — a regular,
+compiler-tileable computation that replaces the octree's pointer chasing
+(the record count is a few thousand, so the dense product is cheap on the
+MXU/VPU while staying exact: every record is considered for every pixel,
+no tree-pruning approximation).
+
+Pipeline:
+1. cache placement: primary rays on a stride-k pixel grid -> surface hits
+   become cache records (the analog of the reference's camera-driven
+   record placement);
+2. per record: cosine-hemisphere sampling of the path integrator with
+   ``hide_emitters`` estimates *indirect* irradiance E_i (direct light
+   renders analytically in the final pass, so no double counting); the
+   harmonic mean of sample hit distances gives the validity radius R_i
+   (Ward & Heckbert 1988);
+3. final render: per pixel, Ward weights w_i = 1/(|p-p_i|/R_i +
+   sqrt(1-n.n_i)) blend records with w_i > 1/quality; emitters and one-
+   sample NEE direct lighting render normally, the cache supplies the
+   indirect diffuse component.
+
+Like the reference, this is an approximation designed for diffuse-dominant
+scenes (records ignore glossy directionality).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Float, EPSILON, SHADOW_EPSILON
+from ..core import math as m
+from ..core import rng as mrng
+from ..sampler import KIND_BY_NAME
+from ..sensor.table import sample_ray
+from ..emitter import table as em
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "max_depth"))
+def _estimate_irradiance(scene, p, ns, ss, ts, valid, seed, *, n_samples,
+                         max_depth):
+    """Hemisphere-sample indirect incident radiance at M cache points.
+
+    Returns (E (M, 3), R_harmonic (M,)): indirect irradiance and the
+    harmonic-mean hit distance (the Ward validity radius)."""
+    from .path import PathConfig, path_li
+
+    M = p.shape[0]
+    # hide_emitters drops the depth-1 (direct) term of each hemisphere ray,
+    # leaving exactly the indirect irradiance integrand
+    cfg = PathConfig(max_depth=max_depth, depth_budget=max_depth,
+                     hide_emitters=True)
+    o = p + ns * EPSILON
+
+    def one(i, carry):
+        E, inv_d = carry
+        rid = jnp.arange(M, dtype=jnp.uint32)
+        sampler = mrng.make_sampler(rid, i.astype(jnp.uint32), seed)
+        sampler, blk = mrng.next_block4(sampler)
+        d_local = jnp.stack(
+            [jnp.sqrt(blk[..., 0]) * jnp.cos(2 * jnp.pi * blk[..., 1]),
+             jnp.sqrt(blk[..., 0]) * jnp.sin(2 * jnp.pi * blk[..., 1]),
+             jnp.sqrt(jnp.maximum(1.0 - blk[..., 0], 0.0))], axis=-1)
+        d_world = m.Frame.to_world((ss, ts, ns), d_local)
+        li, _ = path_li(scene, sampler, o, d_world, cfg)
+        E = E + jnp.where(valid[..., None], li, 0.0)
+        hit = scene.ray_intersect(o, d_world)
+        inv_d = inv_d + jnp.where(
+            valid & hit.valid, 1.0 / jnp.maximum(hit.t, 1e-3), 0.0)
+        return E, inv_d
+
+    E = jnp.zeros((M, 3), Float)
+    inv_d = jnp.zeros((M,), Float)
+    E, inv_d = jax.lax.fori_loop(0, n_samples, one, (E, inv_d))
+    # cosine-weighted estimator of irradiance: E = pi * mean(Li)
+    E = E * (jnp.pi / n_samples)
+    R = jnp.where(inv_d > 0, n_samples / jnp.maximum(inv_d, 1e-6), 1e6)
+    return E, R
+
+
+def _gather_cache(p, ns, rec_p, rec_n, rec_E, rec_R, rec_valid, quality):
+    """Dense Ward interpolation: (N, M) weights -> per-pixel irradiance."""
+    d = jnp.linalg.norm(p[:, None, :] - rec_p[None, :, :], axis=-1)  # (N,M)
+    ndot = jnp.clip(jnp.einsum("nc,mc->nm", ns, rec_n), -1.0, 1.0)
+    w = 1.0 / (d / jnp.maximum(rec_R[None, :], 1e-4)
+               + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
+    ok = (w > 1.0 / quality) & rec_valid[None, :] & (ndot > 0.1)
+    w = jnp.where(ok, w, 0.0)
+    wsum = jnp.sum(w, axis=1)
+    E = jnp.einsum("nm,mc->nc", w, rec_E) / jnp.maximum(wsum, 1e-9)[..., None]
+    # fallback: nearest valid record when no record passes the criterion
+    d_masked = jnp.where(rec_valid[None, :] & (ndot > 0.0), d, jnp.inf)
+    nearest = jnp.argmin(d_masked, axis=1)
+    E_near = rec_E[nearest]
+    return jnp.where((wsum > 0)[..., None], E, E_near)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "kind", "seed"))
+def _final_pass(scene, rec_p, rec_n, rec_E, rec_R, rec_valid, quality,
+                sample_idx, *, width, height, spp, kind, seed):
+    from ..bsdf.eval import bsdf_eval
+
+    W, H = width, height
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    s = mrng.make_sampler(pix, sample_idx, jnp.uint32(seed), kind=kind,
+                          spp=spp)
+    s, blk0 = mrng.next_block4(s)
+    jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
+    uvp = (jnp.stack([(pix % W).astype(Float), (pix // W).astype(Float)], -1)
+           + jitter) / jnp.asarray([W, H], Float)
+    o, dr, _ws = sample_ray(scene.sensor, uvp, u_lens)
+    hitp = scene.ray_intersect(o, dr)
+    itp = scene.interaction(o, dr, hitp)
+
+    # emitted + escaped
+    li = jnp.where((~itp.valid)[..., None],
+                   em.eval_environment(scene.emitters, dr), 0.0)
+    eid = scene.emitter_at(itp)
+    li = li + jnp.where(
+        itp.valid[..., None],
+        em.emitted_radiance(scene.emitters, eid, itp.ns, -dr), 0.0)
+
+    # direct lighting (one NEE sample)
+    bparams = scene.bsdf_at(itp)
+    s, nee = mrng.next_block4(s)
+    ds = em.sample_direct(scene.emitters, scene.geom, itp.p,
+                          nee[..., 0], nee[..., 1:3])
+    wo_local = itp.to_local(ds.d)
+    f = bsdf_eval(bparams, itp.wi_local, wo_local)
+    occ = scene.occluded(itp.p, ds.d, EPSILON,
+                         ds.dist * (1.0 - SHADOW_EPSILON))
+    can = itp.valid & (ds.pdf > 0) & ~occ
+    li = li + jnp.where(
+        can[..., None],
+        ds.value * f / jnp.maximum(ds.pdf, 1e-9)[..., None], 0.0)
+
+    # indirect diffuse from the cache
+    E_px = _gather_cache(itp.p, itp.ns, rec_p, rec_n, rec_E, rec_R,
+                         rec_valid, quality)
+    li = li + jnp.where(itp.valid[..., None],
+                        bparams.refl * E_px / jnp.pi, 0.0)
+    return li
+
+
+def render_irrcache(scene, settings, spp=None):
+    """Irradiance-cached render -> (H, W, 3) numpy image."""
+    ip = settings.integrator_props
+    quality = float(ip.get("quality", 1.0))
+    stride = int(ip.get("resolution", 4))  # cache-point pixel stride
+    n_hemi = int(ip.get("irr_samples", 64))
+    nested = dict(ip.get("nested", {"name": "path"}))
+    max_depth = int(nested.get("max_depth", 3))
+
+    W, H = settings.width, settings.height
+    spp = int(spp if spp is not None else settings.spp)
+    kind = KIND_BY_NAME.get(settings.sampler, mrng.INDEPENDENT)
+
+    # --- cache placement + irradiance estimation ---------------------------
+    gx = np.arange(stride // 2, W, stride)
+    gy = np.arange(stride // 2, H, stride)
+    pix_rec = (gy[:, None] * W + gx[None, :]).reshape(-1).astype(np.uint32)
+    rid = jnp.asarray(pix_rec)
+    sampler = mrng.make_sampler(rid, jnp.uint32(0), jnp.uint32(settings.seed))
+    _, blk = mrng.next_block4(sampler)
+    uv = (jnp.stack([(rid % W).astype(Float), (rid // W).astype(Float)], -1)
+          + 0.5) / jnp.asarray([W, H], Float)
+    o, d, _w = sample_ray(scene.sensor, uv, blk[..., 2:4])
+    hit = scene.ray_intersect(o, d)
+    it = scene.interaction(o, d, hit)
+    E_ind, R = _estimate_irradiance(
+        scene, it.p, it.ns, it.ss, it.ts_, it.valid,
+        jnp.uint32(settings.seed + 1), n_samples=n_hemi, max_depth=max_depth)
+
+    acc = 0.0
+    for si in range(spp):
+        acc = acc + _final_pass(
+            scene, it.p, it.ns, E_ind, R, it.valid,
+            jnp.asarray(quality, Float), jnp.uint32(si),
+            width=W, height=H, spp=spp, kind=kind, seed=settings.seed)
+    img = np.asarray(acc / spp).reshape(H, W, 3)
+    return np.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)

@@ -62,7 +62,7 @@ def _rle_decode(b: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
-def read_exr(path: str) -> tuple[np.ndarray, dict]:
+def read_exr(path: str, all_channels: bool = False) -> tuple[np.ndarray, dict]:
     """Returns ((H, W, C) float32 array, metadata dict).  Channels ordered
     RGB(A) when present, else alphabetical."""
     with open(path, "rb") as f:
@@ -150,25 +150,36 @@ def read_exr(path: str) -> tuple[np.ndarray, dict]:
             out[c] = out[c][::-1]
 
     names = [c for c, _ in channels]
+    meta = {k: v for k, (t, v) in attrs.items() if t == "string"}
+    meta = {k: v.decode("utf-8", "replace") for k, v in meta.items()}
+    if all_channels:
+        meta["channels"] = ",".join(names)
+        return np.stack([out[c] for c in names], axis=-1), meta
     if set("RGB").issubset(names):
         stack = [out["R"], out["G"], out["B"]] + ([out["A"]] if "A" in names else [])
     elif "Y" in names:
         stack = [out["Y"]] * 3
     else:
         stack = [out[c] for c in names]
-    meta = {k: v for k, (t, v) in attrs.items() if t == "string"}
-    meta = {k: v.decode("utf-8", "replace") for k, v in meta.items()}
     return np.stack(stack, axis=-1), meta
 
 
 def write_exr(path: str, img: np.ndarray, half: bool = True,
-              metadata: dict | None = None) -> None:
-    """Write (H, W, 3|4|1) float array as a ZIP-compressed scanline EXR."""
+              metadata: dict | None = None,
+              channel_names: list | None = None) -> None:
+    """Write (H, W, C) float array as a ZIP-compressed scanline EXR.
+
+    ``channel_names`` overrides the default R/G/B naming — used by the
+    multichannel integrator for named AOV layers (``"normal.R"`` etc.,
+    the reference multichannel.cpp / hdrfilm multi-layer capability)."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
-    if C == 1:
+    if channel_names is not None:
+        assert len(channel_names) == C
+        names = [str(n) for n in channel_names]
+    elif C == 1:
         names = ["Y"]
     elif C == 3:
         names = ["R", "G", "B"]

@@ -128,6 +128,18 @@ def render(scene: Scene, settings: RenderSettings,
         from ..integrators.vpl import render_vpl
 
         return render_vpl(scene, settings, spp=spp)
+    if settings.integrator == "adaptive":
+        from ..integrators.adaptive import render_adaptive
+
+        return render_adaptive(scene, settings, spp=spp)
+    if settings.integrator == "multichannel":
+        from ..integrators.multichannel import render_multichannel
+
+        return render_multichannel(scene, settings, spp=spp)
+    if settings.integrator == "irrcache":
+        from ..integrators.irrcache import render_irrcache
+
+        return render_irrcache(scene, settings, spp=spp)
     film = render_film(scene, settings, spp=spp, progress_cb=progress_cb)
     return np.asarray(develop(film))
 
@@ -224,6 +236,13 @@ def save_render(path: str, img: np.ndarray, settings: RenderSettings,
     import os
 
     ext = os.path.splitext(path)[1].lower()
+    aux = getattr(settings, "aux_channels", None)
+    if aux is not None and ext == ".exr":
+        from ..io.exr import write_exr
+
+        channel_names, stack = aux
+        write_exr(path, stack, metadata=metadata, channel_names=channel_names)
+        return
     if ext in (".png", ".jpg", ".ppm"):
         img = tonemap_ldr(img, settings)
     bmp.save(path, img, metadata=metadata)
