@@ -68,7 +68,13 @@ def main(argv=None) -> int:
     from ..scene.xml import load_scene
     from ..render.job import render_film, develop, save_render
     from ..film.film import make_film
+    from ..core import statistics as stats
+    from ..core.logger import add_stream_appender, set_log_level, EDebug, EInfo
     import numpy as np
+
+    add_stream_appender(level=EDebug if args.verbose else EInfo)
+    if args.verbose:
+        set_log_level(EDebug)
 
     rc = 0
     for scene_path in args.scenes:
@@ -154,6 +160,9 @@ def main(argv=None) -> int:
             rate = n_paths / max(wall, 1e-9)
             print(f"\n[done] {out}  {wall:.2f}s "
                   f"({rate / 1e6:.2f} Mpaths/s)", flush=True)
+        if args.verbose:
+            stats.record("General", "Render time (s)", wall)
+            stats.print_stats()
     return rc
 
 

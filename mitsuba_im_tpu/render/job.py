@@ -206,6 +206,12 @@ def render_film(scene: Scene, settings: RenderSettings, spp: int | None = None,
             progress_cb(s + 1, spp, Film(data=data, width=film.width,
                                          height=film.height, ftype=film.ftype,
                                          radius=film.radius))
+    from ..core import statistics as stats
+
+    n = settings.width * settings.height
+    stats.record("Render", "Passes", spp)
+    stats.record("Render", "Camera rays generated", n * spp)
+    stats.record("Render", "Film samples splatted", n * spp)
     return Film(data=data, width=film.width, height=film.height,
                 ftype=film.ftype, radius=film.radius)
 

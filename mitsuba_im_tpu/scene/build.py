@@ -155,6 +155,15 @@ class SceneBuilder:
 
         geom = make_geometry(tri, sph, disk)
 
+        from ..core import statistics as stats
+
+        stats.record("Geometry", "Triangles", geom.n_tris)
+        stats.record("Geometry", "Analytic spheres", geom.n_spheres)
+        stats.record("Geometry", "Analytic disks", geom.n_disks)
+        stats.record("Scene", "Shapes", len(self.shape_bsdf))
+        stats.record("Scene", "Emitters", len(self.emitter_records))
+        stats.record("Scene", "BSDF instances", len(self.bsdf_records))
+
         # BVH + clusters (built only when the soup beats brute force)
         n_tris = geom.n_tris
         clusters = None
