@@ -32,7 +32,8 @@ def main():
 
     scene, _settings = _tiny_cornell()
     max_depth = 5
-    cfg = PathConfig(max_depth=max_depth)
+    # forward-only render: rematerialization only pays off under grad
+    cfg = PathConfig(max_depth=max_depth, remat=False)
     n_iters = max_depth - 1
 
     W = H = 1024

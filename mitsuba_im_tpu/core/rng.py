@@ -267,7 +267,8 @@ def pcg4d_words(x, y, z, w):
 
 @pytree_dataclass
 class Sampler3:
-    """SoA SamplerState (no MCMC table mode — PSSMLT keeps its own path)."""
+    """SoA SamplerState; ``table`` carries the MCMC primary-sample vector
+    exactly like SamplerState.table (PSSMLT/ERPT mutation target)."""
 
     pixel: jax.Array  # (N,) uint32
     sample: jax.Array  # (N,) uint32
@@ -277,6 +278,7 @@ class Sampler3:
     b3: jax.Array
     dim: jax.Array  # (N,) uint32
     seed: jax.Array  # () or (N,) uint32
+    table: jax.Array | None = None  # (N, B, 4) explicit primary samples
     kind: int = static_field(default=INDEPENDENT)
     spp: int = static_field(default=1)
 
@@ -336,6 +338,18 @@ def next_block4_v(s: Sampler3):
     s2 = s.replace(dim=dim + U32(4))
     x, y, z, w = pcg4d_words(s.b0, s.b1, s.b2 ^ dim, s.b3)
     u0, u1, u2, u3 = (_to_unit_float(t) for t in (x, y, z, w))
+    if s.table is not None:
+        blk = (dim >> 2).astype(jnp.int32)  # block index, lockstep per lane
+        n_blocks = s.table.shape[-2]
+        safe = jnp.minimum(blk, n_blocks - 1)
+        tab = jnp.take_along_axis(
+            s.table, safe[..., None, None], axis=-2)[..., 0, :]
+        ok = blk < n_blocks
+        u0 = jnp.where(ok, tab[..., 0], u0)
+        u1 = jnp.where(ok, tab[..., 1], u1)
+        u2 = jnp.where(ok, tab[..., 2], u2)
+        u3 = jnp.where(ok, tab[..., 3], u3)
+        return s2, (u0, u1, u2, u3)
     if s.kind == STRATIFIED:
         import math
 

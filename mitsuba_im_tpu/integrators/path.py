@@ -225,7 +225,7 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         pixel=sampler.pixel, sample=sampler.sample,
         b0=sampler.base[..., 0], b1=sampler.base[..., 1],
         b2=sampler.base[..., 2], b3=sampler.base[..., 3],
-        dim=sampler.dim, seed=sampler.seed,
+        dim=sampler.dim, seed=sampler.seed, table=sampler.table,
         kind=sampler.kind, spp=sampler.spp,
     )
     li, s3 = path_li_v(scene, s3, V3.from_array(o), V3.from_array(d), cfg)

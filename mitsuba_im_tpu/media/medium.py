@@ -327,6 +327,226 @@ def sample_distance(sigma_t: jax.Array, u: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# Component-SoA API (canonical for the wavefront hot path)
+# ---------------------------------------------------------------------------
+
+def medium_params_v(media: MediumTable, mid: jax.Array):
+    """SoA per-lane (sigma_s V3, sigma_t V3, phase_type, g)."""
+    from ..core import v3 as v
+
+    idx = jnp.where(mid == INVALID, 0, mid)
+    vac = mid == INVALID
+    z = jnp.zeros(mid.shape, Float)
+    zero = v.V3(z, z, z)
+    ss = v.where(vac, zero, v.gather_v3(media.sigma_s, idx))
+    st = v.where(vac, zero, v.gather_v3(media.sigma_t, idx))
+    return ss, st, v.gather_col(media.phase_type, idx), v.gather_col(media.g, idx)
+
+
+def hetero_rows_v(media: MediumTable, mid: jax.Array) -> dict:
+    """SoA heterogeneous rows: affines as 12 flat columns."""
+    from ..core import v3 as v
+
+    idx = jnp.where(mid == INVALID, 0, mid)
+    b = dict(
+        hetero=v.gather_col(media.hetero, idx),
+        majorant=v.gather_col(media.majorant, idx),
+        grid_res=tuple(v.gather_col(media.grid_res[:, k], idx) for k in range(3)),
+        w2g=tuple(v.gather_col(media.w2g[:, k], idx) for k in range(12)),
+        albedo_c=v.gather_v3(media.albedo_c, idx),
+        alb_res=tuple(v.gather_col(media.alb_res[:, k], idx) for k in range(3)),
+        alb_w2g=tuple(v.gather_col(media.alb_w2g[:, k], idx) for k in range(12)),
+        grid_offset=media.grid_offset[idx],
+        alb_offset=media.alb_offset[idx],
+    )
+    b["is_het"] = (mid != INVALID) & (b["hetero"] > 0)
+    return b
+
+
+def _trilinear_v(atlas, offset, res, w2g, p, vec_out: bool):
+    """SoA trilinear grid lookup: res/w2g are column tuples, p is V3."""
+    from ..core import v3 as v
+
+    r = w2g
+    gx = r[0] * p.x + r[1] * p.y + r[2] * p.z + r[3]
+    gy = r[4] * p.x + r[5] * p.y + r[6] * p.z + r[7]
+    gz = r[8] * p.x + r[9] * p.y + r[10] * p.z + r[11]
+    nx, ny, nz = res
+    fx = nx.astype(Float) - 1.0
+    fy = ny.astype(Float) - 1.0
+    fz = nz.astype(Float) - 1.0
+    inside = ((gx >= 0.0) & (gx <= fx + 1e-4) & (gy >= 0.0)
+              & (gy <= fy + 1e-4) & (gz >= 0.0) & (gz <= fz + 1e-4))
+    gx = jnp.clip(gx, 0.0, jnp.maximum(fx, 0.0))
+    gy = jnp.clip(gy, 0.0, jnp.maximum(fy, 0.0))
+    gz = jnp.clip(gz, 0.0, jnp.maximum(fz, 0.0))
+    x0 = jnp.minimum(jnp.floor(gx).astype(Int), jnp.maximum(nx - 2, 0))
+    y0 = jnp.minimum(jnp.floor(gy).astype(Int), jnp.maximum(ny - 2, 0))
+    z0 = jnp.minimum(jnp.floor(gz).astype(Int), jnp.maximum(nz - 2, 0))
+    tx = gx - x0.astype(Float)
+    ty = gy - y0.astype(Float)
+    tz = gz - z0.astype(Float)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    def at(ix, iy, iz):
+        flat = offset + ((iz * ny + iy) * nx + ix)
+        if vec_out:
+            return v.V3.from_array(atlas[flat])
+        return atlas[flat]
+
+    def lerp(a, b, t):
+        return a + (b - a) * t
+
+    c00 = lerp(at(x0, y0, z0), at(x1, y0, z0), tx)
+    c10 = lerp(at(x0, y1, z0), at(x1, y1, z0), tx)
+    c01 = lerp(at(x0, y0, z1), at(x1, y0, z1), tx)
+    c11 = lerp(at(x0, y1, z1), at(x1, y1, z1), tx)
+    val = lerp(lerp(c00, c10, ty), lerp(c01, c11, ty), tz)
+    if vec_out:
+        return v.where(inside, val, v.V3(jnp.zeros_like(gx),
+                                         jnp.zeros_like(gx),
+                                         jnp.zeros_like(gx)))
+    return jnp.where(inside, val, 0.0)
+
+
+def sigma_t_at_v(media: MediumTable, rows: dict, p) -> jax.Array:
+    return _trilinear_v(media.density_atlas, rows["grid_offset"],
+                        rows["grid_res"], rows["w2g"], p, vec_out=False)
+
+
+def albedo_at_v(media: MediumTable, rows: dict, p):
+    from ..core import v3 as v
+
+    grid = _trilinear_v(media.albedo_atlas, jnp.maximum(rows["alb_offset"], 0),
+                        rows["alb_res"], rows["alb_w2g"], p, vec_out=True)
+    return v.where(rows["alb_offset"] >= 0, grid, rows["albedo_c"])
+
+
+def track_distance_v(media: MediumTable, rows: dict, o, d, t_max, s, active):
+    """SoA delta/Woodcock tracking; o, d are V3, sampler is Sampler3."""
+    from ..core import rng as mrng
+
+    n = o.x.shape[0]
+    maj = jnp.maximum(rows["majorant"], 1e-20)
+    live0 = active & rows["is_het"] & (rows["majorant"] > 1e-20)
+
+    def cond(st):
+        i, s_, t, live, sc = st
+        return (i < MAX_TRACK_STEPS) & jnp.any(live)
+
+    def body(st):
+        i, s_, t, live, sc = st
+        s_, blk = mrng.next_block4_v(s_)
+        step = -jnp.log1p(-jnp.minimum(blk[0], 0.999999)) / maj
+        t2 = t + step
+        esc = t2 >= t_max
+        p = o + d * t2
+        dens = sigma_t_at_v(media, rows, p)
+        accept = blk[1] < dens / maj
+        sc = sc | (live & ~esc & accept)
+        t = jnp.where(live, jnp.minimum(t2, t_max), t)
+        live = live & ~esc & ~accept
+        return (i + 1, s_, t, live, sc)
+
+    init = (jnp.zeros((), Int), s, jnp.zeros((n,), Float), live0,
+            jnp.zeros((n,), bool))
+    _, s, t, _, scattered = jax.lax.while_loop(cond, body, init)
+    return s, t, scattered
+
+
+def track_transmittance_v(media: MediumTable, rows: dict, o, d, dist, s,
+                          active):
+    """SoA ratio tracking; returns (sampler, T scalar)."""
+    from ..core import rng as mrng
+
+    n = o.x.shape[0]
+    maj = jnp.maximum(rows["majorant"], 1e-20)
+    live0 = active & rows["is_het"] & (rows["majorant"] > 1e-20)
+
+    def cond(st):
+        i, s_, t, T, live = st
+        return (i < MAX_TRACK_STEPS) & jnp.any(live)
+
+    def body(st):
+        i, s_, t, T, live = st
+        s_, blk = mrng.next_block4_v(s_)
+        step = -jnp.log1p(-jnp.minimum(blk[0], 0.999999)) / maj
+        t2 = t + step
+        esc = t2 >= dist
+        p = o + d * t2
+        dens = sigma_t_at_v(media, rows, p)
+        T = jnp.where(live & ~esc, T * (1.0 - dens / maj), T)
+        t = jnp.where(live, t2, t)
+        live = live & ~esc & (T > 1e-6)
+        return (i + 1, s_, t, T, live)
+
+    init = (jnp.zeros((), Int), s, jnp.zeros((n,), Float),
+            jnp.ones((n,), Float), live0)
+    _, s, _, T, live = jax.lax.while_loop(cond, body, init)
+    T = jnp.where(live, 0.0, jnp.maximum(T, 0.0))  # budget exceeded: opaque
+    return s, T
+
+
+def transmittance_v(sigma_t, dist):
+    """SoA Beer-Lambert; sigma_t V3, dist (N,) -> V3."""
+    d = jnp.minimum(dist, 1e30)
+    return (sigma_t * (-d)).exp()
+
+
+def sample_distance_v(sigma_t, u: jax.Array):
+    """SoA channel-averaged free flight: sigma_t V3 -> (t, st_bar)."""
+    st_bar = jnp.maximum(sigma_t.mean(), 1e-20)
+    t = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / st_bar
+    return t, st_bar
+
+
+def phase_eval_v(ptype, g, wi, wo):
+    """SoA p(wi -> wo); wi, wo are V3."""
+    cos_theta = (-wi).dot(wo)
+    iso = jnp.full(cos_theta.shape, INV_FOURPI)
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
+    hg = INV_FOURPI * (1.0 - g * g) / jnp.maximum(
+        denom * safe_sqrt(denom), 1e-8)
+    ray = (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
+    out = iso
+    out = jnp.where(ptype == PH_HG, hg, out)
+    out = jnp.where(ptype == PH_RAYLEIGH, ray, out)
+    return out
+
+
+def phase_sample_v(ptype, g, wi, u1, u2):
+    """SoA phase sampling; returns (wo V3, pdf)."""
+    from ..core import v3 as v
+
+    wo_iso = v.square_to_uniform_sphere(u1, u2)
+
+    safe_g = jnp.where(jnp.abs(g) < 1e-4, 1e-4, g)
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+    cos_hg = (1.0 + g * g - sqr * sqr) / (2.0 * safe_g)
+    cos_hg = jnp.where(jnp.abs(g) < 1e-4, 1.0 - 2.0 * u1, cos_hg)
+    cos_hg = jnp.clip(cos_hg, -1.0, 1.0)
+    sin_hg = safe_sqrt(1.0 - cos_hg * cos_hg)
+    phi = 2.0 * jnp.pi * u2
+    frame = v.frame_from_normal(-wi)
+    wo_hg = v.to_world(
+        frame, v.V3(sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg))
+
+    z = 2.0 * (2.0 * u1 - 1.0)
+    A = jnp.cbrt(z + jnp.sqrt(z * z + 1.0))
+    cos_r = jnp.clip(A - 1.0 / A, -1.0, 1.0)
+    sin_r = safe_sqrt(1.0 - cos_r * cos_r)
+    wo_ray = v.to_world(
+        frame, v.V3(sin_r * jnp.cos(phi), sin_r * jnp.sin(phi), cos_r))
+
+    wo = wo_iso
+    wo = v.where(ptype == PH_HG, wo_hg, wo)
+    wo = v.where(ptype == PH_RAYLEIGH, wo_ray, wo)
+    return wo, phase_eval_v(ptype, g, wi, wo)
+
+
+# ---------------------------------------------------------------------------
 # Phase functions (local frame: wi toward previous vertex, like BSDFs)
 # ---------------------------------------------------------------------------
 

@@ -37,6 +37,9 @@ def _integrator_fn(settings: RenderSettings):
             rr_depth=ip.get("rr_depth", 5),
             hide_emitters=ip.get("hide_emitters", False),
             strict_normals=ip.get("strict_normals", False),
+            # forward-only rendering: checkpointing the bounce loop only
+            # pays off under reverse-mode AD (diff/optimize keeps it on)
+            remat=False,
         )
         if name == "volpath":
             from ..integrators.volpath import volpath_li
