@@ -36,19 +36,58 @@ def load_native():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-s"],
-                    cwd=os.path.abspath(_NATIVE_DIR),
-                    check=True,
-                    capture_output=True,
-                )
+            # make is timestamp-driven: a no-op when the lib is current,
+            # a rebuild when any native source changed
+            subprocess.run(
+                ["make", "-s"],
+                cwd=os.path.abspath(_NATIVE_DIR),
+                check=True,
+                capture_output=True,
+            )
             lib = ctypes.CDLL(_LIB_PATH)
             lib.mitpu_build_bvh.restype = ctypes.c_int32
+            lib.mitpu_parse_obj.restype = ctypes.c_int32
+            lib.mitpu_obj_positions.restype = ctypes.POINTER(ctypes.c_float)
+            lib.mitpu_obj_normals.restype = ctypes.POINTER(ctypes.c_float)
+            lib.mitpu_obj_uvs.restype = ctypes.POINTER(ctypes.c_float)
+            lib.mitpu_obj_indices.restype = ctypes.POINTER(ctypes.c_int32)
+            lib.mitpu_obj_free.restype = None
             _lib = lib
         except Exception:
             _lib = None
         return _lib
+
+
+def parse_obj_native(path: str):
+    """C++ OBJ parse -> dict of numpy arrays, or None (no lib / error)."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "mitpu_parse_obj"):
+        return None
+    handle = ctypes.c_void_p()
+    n_verts = ctypes.c_int64()
+    n_tris = ctypes.c_int64()
+    has_n = ctypes.c_int32()
+    has_uv = ctypes.c_int32()
+    rc = lib.mitpu_parse_obj(
+        path.encode(), ctypes.byref(handle), ctypes.byref(n_verts),
+        ctypes.byref(n_tris), ctypes.byref(has_n), ctypes.byref(has_uv))
+    if rc != 0 or not handle.value:
+        return None
+    try:
+        V, T = n_verts.value, n_tris.value
+        pos = np.ctypeslib.as_array(
+            lib.mitpu_obj_positions(handle), shape=(V, 3)).copy()
+        idx = np.ctypeslib.as_array(
+            lib.mitpu_obj_indices(handle), shape=(T, 3)).copy()
+        nrm = (np.ctypeslib.as_array(lib.mitpu_obj_normals(handle),
+                                     shape=(V, 3)).copy()
+               if has_n.value else None)
+        uv = (np.ctypeslib.as_array(lib.mitpu_obj_uvs(handle),
+                                    shape=(V, 2)).copy()
+              if has_uv.value else None)
+    finally:
+        lib.mitpu_obj_free(handle)
+    return dict(positions=pos, indices=idx, normals=nrm, uvs=uv)
 
 
 def build_bvh_native(prim_lo, prim_hi, prim_cent, leaf_size=4):

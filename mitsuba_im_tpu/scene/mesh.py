@@ -70,7 +70,28 @@ class TriMesh:
 
 def load_obj(path: str, flip_tex_coords: bool = True) -> TriMesh:
     """Wavefront OBJ loader (reference ``src/shapes/obj.cpp`` capability:
-    v/vn/vt, polygon fan triangulation, negative indices)."""
+    v/vn/vt, polygon fan triangulation, negative indices).
+
+    Parses through the native C++ runtime when available (same output as
+    the pure-Python tokenizer below, which remains the fallback)."""
+    from ..accel.native import parse_obj_native
+
+    nat = parse_obj_native(os.path.abspath(path))
+    if nat is not None:
+        mesh = TriMesh(
+            positions=np.asarray(nat["positions"], np.float64),
+            indices=np.asarray(nat["indices"], np.int64),
+            normals=(np.asarray(nat["normals"], np.float64)
+                     if nat["normals"] is not None else None),
+            uvs=(np.asarray(nat["uvs"], np.float64)
+                 if nat["uvs"] is not None else None),
+            name=os.path.basename(path),
+        )
+        if mesh.uvs is not None and flip_tex_coords:
+            mesh.uvs = mesh.uvs.copy()
+            mesh.uvs[:, 1] = 1.0 - mesh.uvs[:, 1]
+        return mesh
+
     vs: list = []
     vns: list = []
     vts: list = []
