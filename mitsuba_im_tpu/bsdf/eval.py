@@ -235,10 +235,25 @@ def _pdf_plastic(p, wi, wo):
         ok, v.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec), 0.0)
 
 
+def _prob_specular_rough(p, ci):
+    """Lobe-selection probability for roughplastic: 1 - T_ext(ct), mixed
+    with the reflectance-based sampling weight (roughplastic.cpp:414-421)."""
+    from .rtrans import rtrans_eval_v
+
+    alpha = 0.5 * (p.alpha_u + p.alpha_v)
+    ps = 1.0 - rtrans_eval_v(p.dist, jnp.maximum(ci, 0.0), alpha, p.eta_s)
+    sw = _spec_sampling_weight(p)
+    num = ps * sw
+    return num / jnp.maximum(num + (1.0 - ps) * (1.0 - sw), 1e-8)
+
+
 def _eval_roughplastic(p, wi, wo):
-    """src/bsdfs/roughplastic.cpp; diffuse internal-scattering attenuation
-    approximated with smooth Fresnel (the reference interpolates precomputed
-    rough-transmittance tables — a refinement queued for a later pass)."""
+    """src/bsdfs/roughplastic.cpp: GGX/Beckmann specular lobe + diffuse term
+    attenuated by precomputed rough transmittance tables
+    (roughplastic.cpp:373-382; tables = bsdf/rtrans.py, the rtrans.h
+    analog) with internal-scattering Fdr correction."""
+    from .rtrans import rtrans_eval_v, rtrans_diffuse_v
+
     ci, co = wi.z, wo.z
     ok = (ci > 0) & (co > 0)
     h = (wi + wo).normalized()
@@ -246,7 +261,14 @@ def _eval_roughplastic(p, wi, wo):
     G = mf.smith_g2_v(p.dist, wi, wo, h, p.alpha_u, p.alpha_v)
     F, _, _, _ = fresnel_dielectric(wi.dot(h), p.eta_s)
     spec = p.spec * (F * D * G / jnp.maximum(4.0 * ci, 1e-8))
-    diff, _ = _plastic_terms(p, wi, wo)
+    alpha = 0.5 * (p.alpha_u + p.alpha_v)
+    T12 = rtrans_eval_v(p.dist, jnp.maximum(ci, 0.0), alpha, p.eta_s)
+    T21 = rtrans_eval_v(p.dist, jnp.maximum(co, 0.0), alpha, p.eta_s)
+    fdr = 1.0 - rtrans_diffuse_v(p.dist, alpha,
+                                 1.0 / jnp.maximum(p.eta_s, 1e-6))
+    inv_eta2 = 1.0 / (p.eta_s * p.eta_s)
+    diff = (p.refl * (1.0 / jnp.maximum(1.0 - fdr, 1e-6))
+            * (INV_PI * jnp.maximum(co, 0.0) * inv_eta2 * T12 * T21))
     return _m3(ok, spec + diff)
 
 
@@ -254,8 +276,7 @@ def _pdf_roughplastic(p, wi, wo):
     ci, co = wi.z, wo.z
     ok = (ci > 0) & (co > 0)
     h = (wi + wo).normalized()
-    Fi, _, _, _ = fresnel_dielectric(ci, p.eta_s)
-    prob_spec = _prob_specular(p, Fi)
+    prob_spec = _prob_specular_rough(p, ci)
     pm = mf.pdf_visible_v(p.dist, wi, h, p.alpha_u, p.alpha_v)
     pdf_s = pm / jnp.maximum(4.0 * jnp.abs(wo.dot(h)), 1e-8)
     pdf_d = v.square_to_cosine_hemisphere_pdf(wo)
@@ -588,7 +609,10 @@ def _sample_smooth_family(t, p, wi, ci, u_lobe, u2a, u2b, shape):
                 jnp.zeros(shape, bool), eta_out)
     elif t in (PLASTIC, ROUGHPLASTIC):
         Fi, _, _, _ = fresnel_dielectric(ci, p.eta_s)
-        prob_spec = _prob_specular(p, Fi)
+        if t == ROUGHPLASTIC:
+            prob_spec = _prob_specular_rough(p, ci)
+        else:
+            prob_spec = _prob_specular(p, Fi)
         pick_spec = u_lobe < prob_spec
         wo_d = v.square_to_cosine_hemisphere(u2a, u2b)
         if t == PLASTIC:

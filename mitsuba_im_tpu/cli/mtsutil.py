@@ -122,6 +122,79 @@ def cmd_kdbench(argv):
     return 0
 
 
+def cmd_rdielprec(argv):
+    """Regenerate the rough dielectric transmittance tables
+    (utils/rdielprec.cpp analog; tables consumed by roughplastic /
+    roughcoating, bsdf/rtrans.py)."""
+    ap = argparse.ArgumentParser(prog="mtsutil rdielprec")
+    ap.add_argument("-o", dest="output", default=None)
+    ap.add_argument("-n", dest="samples", type=int, default=2048)
+    a = ap.parse_args(argv)
+    from ..bsdf import rtrans
+
+    path = rtrans.save_tables(a.output, m_samples=a.samples, verbose=True)
+    print(f"[rdielprec] wrote {path}")
+    return 0
+
+
+def cmd_chisquare(argv):
+    """Chi-square GOF check of a BSDF's sampler vs its pdf (the headless
+    analog of the reference's cylclip/chi-square debug viewers)."""
+    ap = argparse.ArgumentParser(prog="mtsutil chisquare")
+    ap.add_argument("bsdf", help="bsdf plugin name, e.g. roughplastic")
+    ap.add_argument("-D", dest="defines", action="append", default=[],
+                    help="plugin parameter key=value")
+    a = ap.parse_args(argv)
+    import numpy as np
+    import jax.numpy as jnp
+    from ..bsdf import common as bc
+    from ..bsdf.eval import bsdf_pdf, bsdf_sample
+    from ..core import rng as mrng
+    from ..core.chisquare import chi2_test
+    from ..core.properties import Properties
+    from ..core.registry import create
+    from ..texture.texture import TextureBuilder
+
+    props = Properties(a.bsdf)
+    for d in a.defines:
+        k, val = d.split("=", 1)
+        try:
+            props[k] = float(val)
+        except ValueError:
+            props[k] = val
+    rec = create("bsdf", props, None)
+    table = bc.build_table([rec])
+    tex = TextureBuilder().build()
+    wi = np.asarray([0.6, 0.2, 0.775], np.float64)
+    wi /= np.linalg.norm(wi)
+
+    def params(nn):
+        return bc.resolve(table, tex, jnp.zeros(nn, jnp.int32),
+                          jnp.zeros((nn, 2), jnp.float32))
+
+    def sample_fn(nn):
+        p = params(nn)
+        s = mrng.make_sampler(jnp.arange(nn), 0, 7)
+        s, u1 = mrng.next_1d(s)
+        s, u2 = mrng.next_2d(s)
+        wi_b = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (nn, 3))
+        out = bsdf_sample(p, wi_b, u1, u2)
+        keep = (np.asarray(~out.delta) & (np.asarray(out.pdf) > 1e-9)
+                & (np.linalg.norm(np.asarray(out.weight), axis=-1) > 0))
+        return np.asarray(out.wo)[keep]
+
+    def pdf_fn(dirs):
+        nn = len(dirs)
+        p = params(nn)
+        wi_b = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (nn, 3))
+        return np.asarray(bsdf_pdf(p, wi_b, jnp.asarray(dirs, jnp.float32)))
+
+    ok, pval, info = chi2_test(sample_fn, pdf_fn, n_samples=1 << 17)
+    print(f"[chisquare] {a.bsdf}: {'PASS' if ok else 'FAIL'} "
+          f"(p={pval:.4f}; {info})")
+    return 0 if ok else 1
+
+
 def cmd_tests(argv):
     import subprocess
 
@@ -133,7 +206,17 @@ COMMANDS = {
     "addimages": cmd_addimages,
     "joinrgb": cmd_joinrgb,
     "kdbench": cmd_kdbench,
+    "rdielprec": cmd_rdielprec,
+    "chisquare": cmd_chisquare,
 }
+
+# expose the utilities through the plugin registry so the introspection
+# surface (configurator / getAvailablePlugins analog) lists them, as the
+# reference's MTS_EXPORT_UTILITY marker scan does
+from ..core.registry import register as _register  # noqa: E402
+
+for _name, _fn in COMMANDS.items():
+    _register("utility", _name)(lambda props, ctx=None, _f=_fn: _f)
 
 
 def main(argv=None) -> int:

@@ -104,5 +104,6 @@ def _ensure_loaded():
         "mitsuba_im_tpu.media",
         "mitsuba_im_tpu.integrators",
         "mitsuba_im_tpu.subsurface",
+        "mitsuba_im_tpu.cli.mtsutil",
     ):
         importlib.import_module(mod)

@@ -1,6 +1,11 @@
-"""Bitmap load/save dispatch over EXR/PNG/JPEG(read-only stub)/RGBE/PFM/PPM/
-NPY — the capability surface of the reference Bitmap class
-(``/root/reference/include/mitsuba/core/bitmap.h:182-261``)."""
+"""Bitmap load/save dispatch over EXR/PNG/JPEG/RGBE/PFM/PPM/TGA/BMP/NPY —
+the capability surface of the reference Bitmap class
+(``/root/reference/include/mitsuba/core/bitmap.h:182-261``).
+
+EXR/PNG/RGBE/PFM/PPM/TGA/BMP codecs are written from scratch (the reference
+vendors libpng/openexr/libjpeg-turbo); JPEG is delegated to Pillow when
+present (pure-python baseline JPEG is not worth the LoC) and raises a clear
+error otherwise."""
 from __future__ import annotations
 
 import os
@@ -32,8 +37,10 @@ def load(path: str, gamma_correct: bool = True) -> np.ndarray:
         return _delinearize(read_ppm(path), gamma_correct)
     if ext == ".npy":
         return np.load(path).astype(np.float32)
-    if ext in (".tga", ".bmp"):
-        return _delinearize(_read_simple(path, ext), gamma_correct)
+    if ext == ".tga":
+        return _delinearize(read_tga(path), gamma_correct)
+    if ext == ".bmp":
+        return _delinearize(read_bmp(path), gamma_correct)
     raise ValueError(f"unsupported image format: {path}")
 
 
@@ -52,8 +59,21 @@ def save(path: str, img: np.ndarray, metadata: dict | None = None) -> None:
         write_ppm(path, img)
     elif ext == ".npy":
         np.save(path, img)
+    elif ext == ".tga":
+        write_tga(path, _to_u8(img))
+    elif ext == ".bmp":
+        write_bmp(path, _to_u8(img))
+    elif ext in (".jpg", ".jpeg"):
+        _write_jpeg(path, _to_u8(img))
     else:
         raise ValueError(f"unsupported output format: {path}")
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    """Linear float -> sRGB-encoded uint8 (LDR container path)."""
+    c = np.clip(np.asarray(img, np.float32)[..., :3], 0.0, 1.0)
+    srgb = np.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1 / 2.4) - 0.055)
+    return (srgb * 255 + 0.5).astype(np.uint8)
 
 
 def _delinearize(img, gamma_correct):
@@ -189,11 +209,127 @@ def write_ppm(path: str, img: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+# -- TGA (bitmap.h: ETGA; read supports types 1/2/3/9/10/11, write type 2) --
+
+def read_tga(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    (idlen, cmap_type, img_type) = struct.unpack_from("<BBB", raw, 0)
+    cmap_first, cmap_len, cmap_bits = struct.unpack_from("<HHB", raw, 3)
+    w, h = struct.unpack_from("<HH", raw, 12)
+    bpp, desc = struct.unpack_from("<BB", raw, 16)
+    pos = 18 + idlen
+    # color map (types 1/9)
+    cmap = None
+    if cmap_type:
+        cbytes = (cmap_bits + 7) // 8
+        cmap = np.frombuffer(raw, np.uint8, cmap_len * cbytes, pos)
+        cmap = cmap.reshape(cmap_len, cbytes)
+        pos += cmap_len * cbytes
+    nch = bpp // 8
+    npix = w * h
+    if img_type in (9, 10, 11):  # RLE
+        out = np.empty((npix, nch), np.uint8)
+        i = 0
+        while i < npix:
+            hdr = raw[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet
+                out[i : i + count] = np.frombuffer(raw, np.uint8, nch, pos)
+                pos += nch
+            else:  # raw packet
+                out[i : i + count] = np.frombuffer(
+                    raw, np.uint8, count * nch, pos
+                ).reshape(count, nch)
+                pos += count * nch
+            i += count
+        data = out.reshape(h, w, nch)
+    else:  # uncompressed (1/2/3)
+        data = np.frombuffer(raw, np.uint8, npix * nch, pos).reshape(h, w, nch)
+    if img_type in (1, 9) and cmap is not None:  # palette lookup
+        data = cmap[data[..., 0].astype(np.int64) - cmap_first]
+        nch = data.shape[-1]
+    if nch == 1:
+        img = np.repeat(data[..., :1], 3, axis=-1)
+    elif nch == 2:  # 16-bit 5551 BGR
+        v = data[..., 0].astype(np.uint16) | (data[..., 1].astype(np.uint16) << 8)
+        img = np.stack(
+            [(v >> 10) & 31, (v >> 5) & 31, v & 31], axis=-1
+        ).astype(np.uint8) * 8
+    else:  # BGR(A) -> RGB
+        img = data[..., [2, 1, 0]]
+    if not (desc & 0x20):  # origin bottom-left unless bit 5 set
+        img = img[::-1]
+    return img.astype(np.float32) / 255.0
+
+
+def write_tga(path: str, u8: np.ndarray) -> None:
+    h, w = u8.shape[:2]
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, 0x20)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(np.ascontiguousarray(u8[..., [2, 1, 0]]).tobytes())
+
+
+# -- BMP (bitmap.h: EBMP; 24-bit uncompressed BI_RGB) ------------------------
+
+def read_bmp(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] != b"BM":
+        raise ValueError(f"{path}: not a BMP file")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", raw, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", raw, 26)
+    flip = h > 0
+    h = abs(h)
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(raw, np.uint8, stride * h, data_off).reshape(h, stride)
+    data = rows[:, : w * nch].reshape(h, w, nch)
+    if nch == 1:
+        # 8-bit palettized: palette lives right after the info header (BGRX)
+        pal = np.frombuffer(raw, np.uint8, 256 * 4, 14 + hdr_size).reshape(256, 4)
+        data = pal[data[..., 0].astype(np.int64)][..., :3]
+    img = data[..., [2, 1, 0]]  # BGR(A) -> RGB
+    if flip:
+        img = img[::-1]
+    return np.ascontiguousarray(img).astype(np.float32) / 255.0
+
+
+def write_bmp(path: str, u8: np.ndarray) -> None:
+    h, w = u8.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54))
+        f.write(struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                            2835, 2835, 0, 0))
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = u8[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+        f.write(rows.tobytes())
+
+
+# -- JPEG (delegated to Pillow when available) -------------------------------
+
 def _read_jpeg(path: str) -> np.ndarray:
-    raise NotImplementedError(
-        "JPEG decoding is not yet implemented (use PNG/EXR/PFM/HDR)"
-    )
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "JPEG decoding requires Pillow (use PNG/EXR/PFM/HDR)"
+        ) from e
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    return arr.astype(np.float32) / 255.0
 
 
-def _read_simple(path: str, ext: str) -> np.ndarray:
-    raise NotImplementedError(f"{ext} decoding is not yet implemented")
+def _write_jpeg(path: str, u8: np.ndarray, quality: int = 95) -> None:
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError("JPEG encoding requires Pillow") from e
+    Image.fromarray(u8, "RGB").save(path, quality=quality)

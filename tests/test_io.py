@@ -80,6 +80,37 @@ class TestOtherCodecs:
         back = bmp.load(p)
         np.testing.assert_allclose(back, img, atol=1e-6)
 
+    @pytest.mark.parametrize("ext", ["tga", "bmp"])
+    def test_ldr_roundtrip(self, tmp_path, rng, ext):
+        # LDR containers hold sRGB u8; round-trip through the linear<->sRGB
+        # transfer quantizes, so tolerance is the u8 step in linear space
+        img = rng.uniform(0, 1, (13, 17, 3)).astype(np.float32)
+        p = str(tmp_path / f"t.{ext}")
+        bmp.save(p, img)
+        back = bmp.load(p)
+        assert back.shape == img.shape
+        np.testing.assert_allclose(back, img, atol=0.02)
+
+    def test_tga_rle_read(self, tmp_path):
+        # hand-build an RLE (type 10) TGA: 4x1 all-red via one run packet
+        import struct as st
+        hdr = st.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, 4, 1, 24, 0x20)
+        data = bytes([0x83, 0, 0, 255])  # run of 4, BGR = red
+        p = tmp_path / "rle.tga"
+        p.write_bytes(hdr + data)
+        back = bmp.load(str(p), gamma_correct=False)
+        assert back.shape == (1, 4, 3)
+        np.testing.assert_allclose(back, [[[1, 0, 0]] * 4], atol=1e-6)
+
+    def test_jpeg_roundtrip(self, tmp_path, rng):
+        pytest.importorskip("PIL")
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        p = str(tmp_path / "t.jpg")
+        bmp.save(p, img)
+        back = bmp.load(p)
+        assert back.shape == img.shape  # lossy: only shape/range sanity
+        assert (back >= 0).all() and (back <= 1.0001).all()
+
 
 @pytest.mark.skipif(not os.path.exists(ENVMAP), reason="no reference data")
 class TestEnvmapSampling:
