@@ -22,6 +22,16 @@ group and cycles it with ``pltpu.roll`` — 8 rotations cover all 64
 
 Used when the scene's triangle count is below ``BRUTE_FORCE_MAX``
 (Cornell-box-class scenes); larger scenes take the cluster-marching path.
+
+Measured design notes (v5e, 1M incoherent rays, T_pad=16): the kernel is
+VPU *issue*-bound at ~1 vector op/cycle (~1.0 Grays/s closest-hit), not
+flop- or roll-bound.  Two rejected alternatives, benchmarked head-to-head:
+(a) (1,128) row-broadcast triangle layout without rolls — 15% slower than
+the roll cycle; (b) Baldwin-Weber precomputed-matrix tests (~40% fewer
+arithmetic flops than Moeller-Trumbore) — identical wall time, because the
+per-test bookkeeping (hit mask combine, best-hit selects, index iota) is
+the same and dominates once the geometric math shrinks.  Further gains at
+small T need fewer per-test *ops*, not fewer flops.
 """
 from __future__ import annotations
 

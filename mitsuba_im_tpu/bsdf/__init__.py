@@ -337,8 +337,25 @@ def _hk(props: Properties, ctx=None):
 
 @register("bsdf", "irawan")
 def _irawan(props: Properties, ctx=None):
-    """Woven cloth: approximated as roughdiffuse (full model planned)."""
+    """Irawan & Marschner woven cloth (src/bsdfs/irawan.cpp): parses the
+    weave-pattern DSL (with $var substitution from these Properties),
+    MC-normalizes the specular term (configure() pre-pass), and stores
+    the pattern as static weave data on the BSDF record."""
+    from . import irawan as ir
+
+    repeat_u = props.get_float("repeatU", 1.0)
+    repeat_v = props.get_float("repeatV", 1.0)
+    if "filename" in props:
+        fname = props.get_string("filename")
+        path = ctx.resolve_path(fname) if ctx is not None else fname
+        with open(path, "r") as f:
+            text = f.read()
+    else:
+        text = ir.PLAIN_WEAVE
+    pat = ir.parse_weave(text, props, repeatU=repeat_u, repeatV=repeat_v)
+    pat = ir.compute_normalization(pat)
+
     rec = bc.default_record()
-    rec["type"] = bc.ROUGHDIFFUSE
-    rec["alpha_u"] = rec["alpha_v"] = 0.4
+    rec["type"] = bc.IRAWAN
+    rec["weave"] = pat
     return rec

@@ -36,6 +36,7 @@ MASK = 14
 BLEND = 15
 BUMPMAP_WRAP = 16  # handled at resolve level
 HK = 17
+IRAWAN = 18
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse", ROUGHDIFFUSE: "roughdiffuse", CONDUCTOR: "conductor",
@@ -43,7 +44,7 @@ TYPE_NAMES = {
     THINDIELECTRIC: "thindielectric", ROUGHDIELECTRIC: "roughdielectric",
     PLASTIC: "plastic", ROUGHPLASTIC: "roughplastic", PHONG: "phong",
     WARD: "ward", NULL_BSDF: "null", DIFFTRANS: "difftrans",
-    MASK: "mask", BLEND: "blendbsdf", HK: "hk",
+    MASK: "mask", BLEND: "blendbsdf", HK: "hk", IRAWAN: "irawan",
 }
 
 # Frame-perturbation kinds (bumpmap.cpp / normalmap.cpp wrappers)
@@ -84,9 +85,11 @@ class BSDFTable:
     bump_tex: jax.Array  # (B,) int32 height/normal texture
     bump_kind: jax.Array  # (B,) int32 BUMP_*
     bump_scale: jax.Array  # (B,)
+    weave_id: jax.Array = None  # (B,) int32 index into `weaves` (irawan)
     used_types: tuple = static_field(default=(DIFFUSE,))
     unwrap_depth: int = static_field(default=0)
     has_bump: bool = static_field(default=False)
+    weaves: tuple = static_field(default=())  # irawan WeavePattern objects
 
     @property
     def n(self):
@@ -113,6 +116,17 @@ def build_table(records: list[dict]) -> BSDFTable:
     recs = records or [default_record()]
     g = lambda k, dt: jnp.asarray(np.stack([np.asarray(r[k]) for r in recs]), dt)
     types = {int(r["type"]) for r in recs}
+    # irawan weave patterns: dedupe into a static tuple, per-row index
+    weaves: list = []
+    weave_ids = []
+    for r in recs:
+        wv = r.get("weave")
+        if wv is None:
+            weave_ids.append(0)
+        else:
+            if wv not in weaves:
+                weaves.append(wv)
+            weave_ids.append(weaves.index(wv))
     # static unwrap budget: BLEND chains (mixturebsdf trees) may stack a few
     # levels deep, possibly over MASK wrappers; plain scenes skip the pass
     if BLEND in types:
@@ -134,9 +148,11 @@ def build_table(records: list[dict]) -> BSDFTable:
         weight=g("weight", Float), weight_tex=g("weight_tex", Int),
         bump_tex=g("bump_tex", Int), bump_kind=g("bump_kind", Int),
         bump_scale=g("bump_scale", Float),
+        weave_id=jnp.asarray(weave_ids, Int),
         used_types=tuple(sorted(types)),
         unwrap_depth=depth,
         has_bump=any(int(r.get("bump_kind", BUMP_NONE)) != BUMP_NONE for r in recs),
+        weaves=tuple(weaves),
     )
 
 
@@ -157,7 +173,11 @@ class LaneParams:
     exponent: jax.Array
     opacity: jax.Array  # (...,) scalar opacity (mask)
     flags: jax.Array
+    uv_u: jax.Array = None  # surface uv (spatially-varying models: irawan)
+    uv_v: jax.Array = None
+    weave_id: jax.Array = None
     used_types: tuple = static_field(default=(DIFFUSE,))
+    weaves: tuple = static_field(default=())
 
 
 @pytree_dataclass
@@ -178,7 +198,11 @@ class LaneParams3:
     exponent: jax.Array
     opacity: jax.Array
     flags: jax.Array
+    uv_u: jax.Array = None
+    uv_v: jax.Array = None
+    weave_id: jax.Array = None
     used_types: tuple = static_field(default=(DIFFUSE,))
+    weaves: tuple = static_field(default=())
 
     def to_aos(self) -> "LaneParams":
         return LaneParams(
@@ -187,7 +211,8 @@ class LaneParams3:
             eta=self.eta.to_array(), k=self.k.to_array(), eta_s=self.eta_s,
             alpha_u=self.alpha_u, alpha_v=self.alpha_v,
             exponent=self.exponent, opacity=self.opacity, flags=self.flags,
-            used_types=self.used_types,
+            uv_u=self.uv_u, uv_v=self.uv_v, weave_id=self.weave_id,
+            used_types=self.used_types, weaves=self.weaves,
         )
 
 
@@ -199,7 +224,9 @@ def lane_params_to_v(p: LaneParams) -> LaneParams3:
         spec=V3.from_array(p.spec), trans=V3.from_array(p.trans),
         eta=V3.from_array(p.eta), k=V3.from_array(p.k), eta_s=p.eta_s,
         alpha_u=p.alpha_u, alpha_v=p.alpha_v, exponent=p.exponent,
-        opacity=p.opacity, flags=p.flags, used_types=p.used_types,
+        opacity=p.opacity, flags=p.flags,
+        uv_u=p.uv_u, uv_v=p.uv_v, weave_id=p.weave_id,
+        used_types=p.used_types, weaves=p.weaves,
     )
 
 
@@ -279,7 +306,10 @@ def resolve_v(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
         exponent=gc(table.exponent, bid),
         opacity=op_scalar,
         flags=gc(table.flags, bid),
+        uv_u=uv_u, uv_v=uv_v,
+        weave_id=(gc(table.weave_id, bid) if table.weaves else None),
         used_types=table.used_types,
+        weaves=table.weaves,
     )
 
 
@@ -373,7 +403,10 @@ def resolve(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
         exponent=r["exponent"],
         opacity=op_scalar,
         flags=r["flags"],
+        uv_u=uv[..., 0], uv_v=uv[..., 1],
+        weave_id=(table.weave_id[bid] if table.weaves else None),
         used_types=table.used_types,
+        weaves=table.weaves,
     )
 
 

@@ -27,7 +27,7 @@ from .common import (
     LaneParams, LaneParams3, lane_params_to_v,
     DIFFUSE, ROUGHDIFFUSE, CONDUCTOR, ROUGHCONDUCTOR, DIELECTRIC,
     THINDIELECTRIC, ROUGHDIELECTRIC, PLASTIC, ROUGHPLASTIC, PHONG, WARD,
-    NULL_BSDF, DIFFTRANS, HK, FLAG_TWOSIDED,
+    NULL_BSDF, DIFFTRANS, HK, IRAWAN, FLAG_TWOSIDED,
 )
 from .fresnel import (
     fresnel_dielectric, fresnel_conductor_v, fresnel_diffuse_reflectance,
@@ -402,8 +402,30 @@ def _pdf_hk(p, wi, wo):
     return (1.0 - pd) * 0.5 * jnp.abs(wo.z) * INV_PI
 
 
+def _eval_irawan(p: LaneParams3, wi: V3, wo: V3) -> V3:
+    """Irawan & Marschner woven cloth (src/bsdfs/irawan.cpp eval): weave
+    patterns are static aux data; each pattern present in the scene gets
+    its own fused branch, selected per lane by weave_id."""
+    from . import irawan as ir
+
+    out = v.zeros(p.eta_s.shape)
+    if not p.weaves:
+        return out
+    for widx, pat in enumerate(p.weaves):
+        val = ir.eval_pattern(pat, p.uv_u, p.uv_v, wi, wo)
+        out = v.where(p.weave_id == widx, val, out)
+    return out
+
+
+def _pdf_irawan(p: LaneParams3, wi: V3, wo: V3) -> jax.Array:
+    """Cosine-hemisphere sampling (irawan.cpp pdf())."""
+    return jnp.where((wi.z > 0.0) & (wo.z > 0.0),
+                     jnp.abs(wo.z) * INV_PI, 0.0)
+
+
 _EVAL = {
     DIFFUSE: (_eval_diffuse, _pdf_diffuse),
+    IRAWAN: (_eval_irawan, _pdf_irawan),
     ROUGHDIFFUSE: (_eval_roughdiffuse, _pdf_diffuse),
     ROUGHCONDUCTOR: (_eval_roughconductor, _pdf_roughconductor),
     ROUGHDIELECTRIC: (_eval_roughdielectric, _pdf_roughdielectric),
@@ -461,11 +483,14 @@ def bsdf_sample_v(p: LaneParams3, wi: V3, u_lobe, u2a, u2b,
 
     for t in p.used_types:
         sel = p.type == t
-        if t == DIFFUSE or t == ROUGHDIFFUSE:
+        if t == DIFFUSE or t == ROUGHDIFFUSE or t == IRAWAN:
             wo_t = v.square_to_cosine_hemisphere(u2a, u2b)
             pdf_t = v.square_to_cosine_hemisphere_pdf(wo_t)
             if t == DIFFUSE:
                 w_t = _m3(ci > 0, p.refl)
+            elif t == IRAWAN:
+                ev = _eval_irawan(p, wi_f, wo_t)
+                w_t = ev * safe_div(1.0, pdf_t)
             else:
                 ev = _eval_roughdiffuse(p, wi_f, wo_t)
                 w_t = ev * safe_div(1.0, pdf_t)
