@@ -349,31 +349,39 @@ def load_serialized(path: str, shape_index: int = 0) -> TriMesh:
     return TriMesh(pos, idx, normals, uvs, colors, name or os.path.basename(path))
 
 
-def save_serialized(path: str, mesh: TriMesh) -> None:
-    """Write a single-mesh v4 ``.serialized`` file (round-trip capability)."""
-    flags = F_SINGLE_PRECISION
-    if mesh.normals is not None:
-        flags |= F_HAS_NORMALS
-    if mesh.uvs is not None:
-        flags |= F_HAS_TEXCOORDS
-    if mesh.colors is not None:
-        flags |= F_HAS_COLORS
-    payload = struct.pack("<I", flags)
-    payload += mesh.name.encode("utf-8") + b"\0"
-    payload += struct.pack("<QQ", mesh.n_vertices, mesh.n_triangles)
-    payload += mesh.positions.astype("<f4").tobytes()
-    if mesh.normals is not None:
-        payload += mesh.normals.astype("<f4").tobytes()
-    if mesh.uvs is not None:
-        payload += mesh.uvs.astype("<f4").tobytes()
-    if mesh.colors is not None:
-        payload += mesh.colors.astype("<f4").tobytes()
-    payload += mesh.indices.astype("<u4").tobytes()
+def save_serialized(path: str, mesh) -> None:
+    """Write a v4 ``.serialized`` file (round-trip capability).  ``mesh``
+    may be a single TriMesh or a list (multi-shape files, as produced by
+    the reference ``mtsimport`` converter — addressed by ``shapeIndex``).
+    """
+    meshes = mesh if isinstance(mesh, (list, tuple)) else [mesh]
+    offsets = []
     with open(path, "wb") as f:
-        f.write(struct.pack("<HH", MTS_FILEFORMAT_HEADER, 4))
-        f.write(zlib.compress(payload))
-        f.write(struct.pack("<Q", 0))
-        f.write(struct.pack("<I", 1))
+        for m in meshes:
+            offsets.append(f.tell())
+            flags = F_SINGLE_PRECISION
+            if m.normals is not None:
+                flags |= F_HAS_NORMALS
+            if m.uvs is not None:
+                flags |= F_HAS_TEXCOORDS
+            if m.colors is not None:
+                flags |= F_HAS_COLORS
+            payload = struct.pack("<I", flags)
+            payload += m.name.encode("utf-8") + b"\0"
+            payload += struct.pack("<QQ", m.n_vertices, m.n_triangles)
+            payload += m.positions.astype("<f4").tobytes()
+            if m.normals is not None:
+                payload += m.normals.astype("<f4").tobytes()
+            if m.uvs is not None:
+                payload += m.uvs.astype("<f4").tobytes()
+            if m.colors is not None:
+                payload += m.colors.astype("<f4").tobytes()
+            payload += m.indices.astype("<u4").tobytes()
+            f.write(struct.pack("<HH", MTS_FILEFORMAT_HEADER, 4))
+            f.write(zlib.compress(payload))
+        for off in offsets:
+            f.write(struct.pack("<Q", off))
+        f.write(struct.pack("<I", len(meshes)))
 
 
 def load_mesh(path: str, **kw) -> TriMesh:
