@@ -201,6 +201,33 @@ def cmd_tests(argv):
     return subprocess.call([sys.executable, "-m", "pytest", "tests/", "-q"] + argv)
 
 
+def cmd_docs(argv):
+    """Print the plugin reference: every registered plugin per category,
+    with auto-extracted parameters/defaults where dry instantiation is
+    safe (the configurator's recordQueriesAndDefaults introspection)."""
+    from ..core.registry import available_plugins
+    from ..interactive.configurator import extract_parameters, _INTROSPECTABLE
+
+    cats = ["integrator", "bsdf", "shape", "emitter", "sensor", "sampler",
+            "film", "rfilter", "texture", "medium", "phase", "volume",
+            "subsurface", "utility"]
+    for cat in cats:
+        names = available_plugins(cat)
+        if not names:
+            continue
+        print(f"\n## {cat} ({len(names)})")
+        for name in names:
+            if cat in _INTROSPECTABLE:
+                params = extract_parameters(cat, name)
+                ps = ", ".join(
+                    f"{k}={v['default']!r}" for k, v in sorted(params.items())
+                ) or "-"
+                print(f"  {name:<18} {ps}")
+            else:
+                print(f"  {name}")
+    return 0
+
+
 COMMANDS = {
     "tonemap": cmd_tonemap,
     "addimages": cmd_addimages,
@@ -208,6 +235,7 @@ COMMANDS = {
     "kdbench": cmd_kdbench,
     "rdielprec": cmd_rdielprec,
     "chisquare": cmd_chisquare,
+    "docs": cmd_docs,
 }
 
 # expose the utilities through the plugin registry so the introspection
