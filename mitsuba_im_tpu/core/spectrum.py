@@ -80,6 +80,30 @@ def blackbody_rgb(temperature_k: float) -> np.ndarray:
     return np.maximum(rgb, 0.0)
 
 
+def interpolated_rgb(wavelengths_nm, values) -> np.ndarray:
+    """Piecewise-linear SPD -> linear RGB, host-side.
+
+    Capability analog of ``InterpolatedSpectrum`` + ``Spectrum::toXYZ``
+    (reference ``src/libcore/spectrum.cpp``): the SPD is linearly
+    interpolated between samples (zero outside its support, as in the
+    reference), integrated against the CIE 1931 observer, normalized so a
+    flat unit SPD maps to Y=1 (reflectance convention), and converted to
+    Rec.709 RGB.
+    """
+    wl = np.asarray(wavelengths_nm, np.float64)
+    sv = np.asarray(values, np.float64)
+    order = np.argsort(wl)
+    wl, sv = wl[order], sv[order]
+    lam = np.arange(360.0, 831.0, 1.0)
+    spd = np.interp(lam, wl, sv, left=0.0, right=0.0)
+    x, y, z = _cie_xyz(lam)
+    norm = np.trapezoid(y, lam)
+    X = np.trapezoid(spd * x, lam) / norm
+    Y = np.trapezoid(spd * y, lam) / norm
+    Z = np.trapezoid(spd * z, lam) / norm
+    return _XYZ2RGB @ np.array([X, Y, Z])
+
+
 def _cie_xyz(lam_nm: np.ndarray):
     """Analytic multi-lobe Gaussian fits to CIE 1931 (Wyman et al. 2013)."""
 
