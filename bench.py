@@ -1,9 +1,11 @@
-"""Benchmark: wavefront path-tracer ray throughput on the Cornell box.
+"""Benchmark: wavefront path-tracer throughput on the real chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline north star (BASELINE.json): 1e9 rays/s/chip on Cornell-box-class
-scenes.  Rays counted = actual ray-scene queries launched (primary +
-shadow + extension per bounce iteration).
+Prints ONE JSON line.  Top-level keys keep the driver contract
+{"metric", "value", "unit", "vs_baseline"} with the headline forward
+number (Cornell-box-class, BASELINE north star 1e9 rays/s/chip); the
+"metrics" array additionally records the fwd+bwd (path-replay backprop)
+rate and a large-scene rate (~1M-triangle mesh + envmap, BASELINE
+config 4) so every regime the framework claims is driver-tracked.
 
 Timing protocol: on the tunneled TPU platform ``block_until_ready`` can
 return before execution finishes (async mode), and the first device->host
@@ -20,10 +22,28 @@ import sys
 import time
 
 
-def main():
+def _best_time(f, arg, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(arg))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _scan_rate(make_run, scene, rays_per_pass, k_lo, k_hi):
+    """Differenced-scan timing: rays/s with constant overhead cancelled."""
+    run_lo, run_hi = make_run(k_lo), make_run(k_hi)
+    float(run_lo(scene))  # warmup/compile + force completion
+    float(run_hi(scene))
+    per_pass = (_best_time(run_hi, scene) - _best_time(run_lo, scene)) / (
+        k_hi - k_lo)
+    return rays_per_pass / max(per_pass, 1e-12)
+
+
+def bench_forward():
     import jax
     import jax.numpy as jnp
-    sys.path.insert(0, ".")
     from __graft_entry__ import _tiny_cornell
     from mitsuba_im_tpu.core import rng as mrng
     from mitsuba_im_tpu.core.types import Float
@@ -35,7 +55,6 @@ def main():
     # forward-only render: rematerialization only pays off under grad
     cfg = PathConfig(max_depth=max_depth, remat=False)
     n_iters = max_depth - 1
-
     W = H = 1024
     n = W * H
 
@@ -55,39 +74,129 @@ def main():
             def body(acc, s):
                 return acc + one_pass(scene, s), None
             acc, _ = jax.lax.scan(
-                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32)
-            )
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32))
             return acc
         return run
 
-    k_lo, k_hi = 8, 64
-    run_lo, run_hi = scanner(k_lo), scanner(k_hi)
-    # warmup/compile; float() forces real completion (and flips the runtime
-    # into sync mode, which the differencing below cancels)
-    float(run_lo(scene))
-    float(run_hi(scene))
+    rays_per_pass = n * (1 + 2 * n_iters)
+    return _scan_rate(scanner, scene, rays_per_pass, 8, 64)
 
-    def best_time(f, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(scene))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    t_lo = best_time(run_lo)
-    t_hi = best_time(run_hi)
-    per_pass = (t_hi - t_lo) / (k_hi - k_lo)
+def bench_fwdbwd():
+    """fwd+bwd (path-replay backprop) rate; rays counted = forward-pass
+    queries so the figure reads directly as grad overhead vs forward."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_cornell
+    from mitsuba_im_tpu.core import rng as mrng
+    from mitsuba_im_tpu.core.types import Float
+    from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
+    from mitsuba_im_tpu.sensor.table import sample_ray_v
+
+    scene, _settings = _tiny_cornell()
+    max_depth = 5
+    cfg = PathConfig(max_depth=max_depth, remat=True)  # path replay
+    n_iters = max_depth - 1
+    W = H = 512  # backward pass doubles live memory; keep under HBM
+    n = W * H
+
+    def loss(refl, scene, sample_idx):
+        scene = scene.replace(bsdfs=scene.bsdfs.replace(refl=refl))
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        sampler = mrng.make_sampler_v(pix, sample_idx, jnp.uint32(0))
+        sampler, blk0 = mrng.next_block4_v(sampler)
+        uu = ((pix % W).astype(Float) + blk0[0]) / W
+        vv = ((pix // W).astype(Float) + blk0[1]) / H
+        o, d, _w = sample_ray_v(scene.sensor, uu, vv, blk0[2], blk0[3])
+        li, _ = path_li_v(scene, sampler, o, d, cfg)
+        return li.sum().sum()
+
+    grad = jax.grad(loss)
+
+    def scanner(K):
+        @jax.jit
+        def run(scene):
+            def body(acc, s):
+                g = grad(scene.bsdfs.refl, scene, s)
+                return acc + g.sum(), None
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32))
+            return acc
+        return run
 
     rays_per_pass = n * (1 + 2 * n_iters)
-    rays_per_sec = rays_per_pass / per_pass
+    return _scan_rate(scanner, scene, rays_per_pass, 4, 16)
 
-    print(json.dumps({
-        "metric": "cornell_path_rays_per_sec_chip",
-        "value": rays_per_sec,
-        "unit": "rays/s",
-        "vs_baseline": rays_per_sec / 1e9,
-    }))
+
+def bench_large_scene():
+    """BASELINE config 4 regime: ~1M-triangle mesh under an environment
+    emitter, forward path tracing through the large-scene intersector."""
+    import jax
+    import jax.numpy as jnp
+    from bench_scenes import build_large_scene
+    from mitsuba_im_tpu.core import rng as mrng
+    from mitsuba_im_tpu.core.types import Float
+    from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
+    from mitsuba_im_tpu.sensor.table import sample_ray_v
+
+    scene, (W, H), n_tris = build_large_scene()
+    max_depth = 3
+    cfg = PathConfig(max_depth=max_depth, remat=False)
+    n_iters = max_depth - 1
+    n = W * H
+
+    def one_pass(scene, sample_idx):
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        sampler = mrng.make_sampler_v(pix, sample_idx, jnp.uint32(0))
+        sampler, blk0 = mrng.next_block4_v(sampler)
+        uu = ((pix % W).astype(Float) + blk0[0]) / W
+        vv = ((pix // W).astype(Float) + blk0[1]) / H
+        o, d, _w = sample_ray_v(scene.sensor, uu, vv, blk0[2], blk0[3])
+        li, _ = path_li_v(scene, sampler, o, d, cfg)
+        return li.sum().sum()
+
+    def scanner(K):
+        @jax.jit
+        def run(scene):
+            def body(acc, s):
+                return acc + one_pass(scene, s), None
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.uint32))
+            return acc
+        return run
+
+    rays_per_pass = n * (1 + 2 * n_iters)
+    return _scan_rate(scanner, scene, rays_per_pass, 1, 5), n_tris
+
+
+def main():
+    sys.path.insert(0, ".")
+    fwd = bench_forward()
+    metrics = [dict(metric="cornell_path_rays_per_sec_chip", value=fwd,
+                    unit="rays/s", vs_baseline=fwd / 1e9)]
+    try:
+        fb = bench_fwdbwd()
+        metrics.append(dict(metric="cornell_path_fwdbwd_rays_per_sec_chip",
+                            value=fb, unit="rays/s", vs_baseline=fb / 1e9))
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        metrics.append(dict(metric="cornell_path_fwdbwd_rays_per_sec_chip",
+                            value=0.0, unit="rays/s", vs_baseline=0.0,
+                            error=repr(e)[:200]))
+    try:
+        big, n_tris = bench_large_scene()
+        metrics.append(dict(metric="large_scene_rays_per_sec_chip",
+                            value=big, unit="rays/s",
+                            vs_baseline=big / 1e9, n_tris=n_tris))
+    except Exception as e:  # pragma: no cover
+        metrics.append(dict(metric="large_scene_rays_per_sec_chip",
+                            value=0.0, unit="rays/s", vs_baseline=0.0,
+                            error=repr(e)[:200]))
+
+    print(json.dumps(dict(
+        metric="cornell_path_rays_per_sec_chip",
+        value=fwd, unit="rays/s", vs_baseline=fwd / 1e9,
+        metrics=metrics,
+    )))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,23 @@ def register(category: str, name: str, schema=None):
     return deco
 
 
+def warn_substitution(category: str, requested: str, actual: str, why: str = ""):
+    """Loudly record that plugin ``requested`` was substituted by ``actual``.
+
+    The reference loads the exact named plugin or fails; any remaining
+    capability gap here must be visible: a WARN log line at scene build and
+    a tracked counter in the statistics report (never a silent alias).
+    """
+    from .logger import Log, EWarn
+    from . import statistics
+
+    Log(EWarn,
+        f"plugin substitution: {category} '{requested}' is rendered as "
+        f"'{actual}'" + (f" ({why})" if why else ""),
+        component="registry")
+    statistics.record("Plugin substitutions", f"{requested} -> {actual}", 1)
+
+
 def create(category: str, props: Properties, ctx=None):
     """Instantiate plugin ``props.plugin_name`` of the given category.
 

@@ -92,6 +92,11 @@ def interpolated_rgb(wavelengths_nm, values) -> np.ndarray:
     """
     wl = np.asarray(wavelengths_nm, np.float64)
     sv = np.asarray(values, np.float64)
+    if wl.size < 2:
+        # reference InterpolatedSpectrum::eval returns 0 for <2 samples
+        # (spectrum.cpp size guard); np.interp would instead return the
+        # single value at exact grid matches / raise on empty input
+        return np.zeros(3)
     order = np.argsort(wl)
     wl, sv = wl[order], sv[order]
     lam = np.arange(360.0, 831.0, 1.0)

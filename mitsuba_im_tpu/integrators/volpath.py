@@ -208,10 +208,12 @@ def volpath_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         wo_nee_local = v.to_local(frame, ds.d)
         f_surf = bsdf_eval_v(bparams, it.wi_local, wo_nee_local)
         pdf_surf_nee = bsdf_pdf_v(bparams, it.wi_local, wo_nee_local)
-        ph_nee = med.phase_eval_v(ptype, g, d_c, ds.d)
+        pctx = med.phase_ctx_v(scene.media, st["medium"], p_vert)
+        ph_nee = med.phase_eval_ctx_v(scene.media, pctx, d_c, ds.d)
+        ph_nee_pdf = med.phase_pdf_ctx_v(scene.media, pctx, d_c, ds.d)
         f_phase = V3(ph_nee, ph_nee, ph_nee)
         f_nee = v.where(med_scatter, f_phase, f_surf)
-        pdf_fwd_nee = jnp.where(med_scatter, ph_nee, pdf_surf_nee)
+        pdf_fwd_nee = jnp.where(med_scatter, ph_nee_pdf, pdf_surf_nee)
         if has_media:
             s, trans_sh = attenuated_occlusion_v(scene, p_vert, ds.d,
                                                  ds.dist, st["medium"], s)
@@ -228,11 +230,13 @@ def volpath_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         bs = bsdf_sample_v(bparams, it.wi_local, sc_blk[0],
                            sc_blk[1], sc_blk[2], sc_blk[3])
         wo_surf = v.to_world(frame, bs.wo)
-        wo_phase, pdf_phase = med.phase_sample_v(ptype, g, d_c,
-                                                 sc_blk[1], sc_blk[2])
+        wo_phase, pdf_phase, w_phase = med.phase_sample_ctx_v(
+            scene.media, pctx, d_c, sc_blk[1], sc_blk[2], sc_blk[3])
         wo = v.where(med_scatter, wo_phase, wo_surf)
-        # phase importance weight is exactly 1 (pdf == value)
-        w_dir = v.where(med_scatter, v.ones((n,)), bs.weight)
+        # phase importance weight: 1 for value-proportional families,
+        # eval/pdf for the structured phases (kkay/microflake)
+        w_dir = v.where(med_scatter, V3(w_phase, w_phase, w_phase),
+                        bs.weight)
         thr_new = thr * v.where(do_scatter, w_dir, v.ones((n,)))
         # null/mask passthrough is not a scattering event: keep the previous
         # vertex's MIS pdf, else the env/area hit after the boundary gets

@@ -11,9 +11,8 @@ import numpy as np
 from ..core.registry import register
 from ..core.properties import Properties
 
-PH_ISOTROPIC = 0
-PH_HG = 1
-PH_RAYLEIGH = 2
+from .medium import (PH_ISOTROPIC, PH_HG, PH_RAYLEIGH, PH_KKAY,
+                     PH_MICROFLAKE, PH_MIX)
 
 
 @register("phase", "isotropic")
@@ -31,19 +30,44 @@ def _rayleigh(props: Properties, ctx=None):
     return dict(type=PH_RAYLEIGH, g=0.0)
 
 
-@register("phase", "mixturephase")
-def _mixturephase(props: Properties, ctx=None):
-    return dict(type=PH_ISOTROPIC, g=0.0)
-
-
 @register("phase", "kkay")
 def _kkay(props: Properties, ctx=None):
-    return dict(type=PH_ISOTROPIC, g=0.0)
+    """Kajiya-Kay fiber phase (src/phase/kkay.cpp:40-42); normalized per
+    incident angle against the fiber axis (orientation volume)."""
+    return dict(
+        type=PH_KKAY, g=0.0,
+        ks=props.get_float("ks", 0.4),
+        kd=props.get_float("kd", 0.2),
+        exponent=props.get_float("exponent", 4.0),
+    )
 
 
 @register("phase", "microflake")
 def _microflake(props: Properties, ctx=None):
-    return dict(type=PH_ISOTROPIC, g=0.0)
+    """Specular microflake model with the Gaussian fiber distribution
+    (src/phase/microflake.cpp:84): flake normals concentrated on the plane
+    perpendicular to the local fiber axis with the given stddev."""
+    return dict(type=PH_MICROFLAKE, g=0.0,
+                stddev=props.get_float("stddev", 0.3))
+
+
+@register("phase", "mixturephase")
+def _mixturephase(props: Properties, ctx=None):
+    """Weighted phase mixture (src/phase/mixturephase.cpp): comma-separated
+    ``weights`` + nested phase children (isotropic/hg/rayleigh)."""
+    wstr = props.get_string("weights", "")
+    weights = [float(w) for w in wstr.replace(";", ",").replace(" ", ",")
+               .split(",") if w.strip()]
+    children = props.children.get("phase_list") or []
+    if not children and "phase" in props.children:
+        children = [props.children["phase"]]
+    if not weights:
+        weights = [1.0 / max(len(children), 1)] * len(children)
+    if len(weights) != len(children):
+        raise ValueError(
+            f"mixturephase: {len(weights)} weights vs {len(children)} phases")
+    return dict(type=PH_MIX, g=0.0,
+                components=list(zip(weights, children)))
 
 
 @register("medium", "homogeneous")
@@ -71,9 +95,9 @@ def _homogeneous(props: Properties, ctx=None):
 @register("medium", "heterogeneous")
 def _heterogeneous(props: Properties, ctx=None):
     """Grid-density medium (heterogeneous.cpp): sigma_t = scale*density,
-    sigma_s = sigma_t*albedo; named child volumes ``density``/``albedo``
-    (``orientation`` is accepted but ignored — micro-flake anisotropy is
-    approximated by the scalar phase function)."""
+    sigma_s = sigma_t*albedo; named child volumes ``density``/``albedo``/
+    ``orientation`` (the fiber-axis grid consumed by the kkay/microflake
+    phase functions)."""
     props.get_string("method", "woodcock")
     rec = dict(
         kind="heterogeneous",
@@ -81,6 +105,7 @@ def _heterogeneous(props: Properties, ctx=None):
         phase=props.children.get("phase", dict(type=PH_ISOTROPIC, g=0.0)),
         density=props.children.get("density"),
         albedo=props.children.get("albedo"),
+        orientation=props.children.get("orientation"),
     )
     vlist = props.children.get("volume_list", [])
     if rec["density"] is None and vlist:
@@ -125,11 +150,20 @@ def _gridvolume(props: Properties, ctx=None):
 
 @register("volume", "hgridvolume")
 def _hgridvolume(props: Properties, ctx=None):
-    """Hierarchical grid: loaded as the union of its cell files when
-    available, else a constant-1 fallback."""
-    from .volume import const_grid
+    """Hierarchical grid (hgridvolume.cpp:70-127): the dictionary file lists
+    occupied cells whose gridvolume blocks are composited into one dense
+    grid in the flat HBM atlas (sparse-block pointer chasing has no place
+    on vector lanes; absent cells stay zero)."""
+    from .volume import read_hgrid
 
-    return const_grid(np.ones(1))
+    path = props.get_string("filename", "")
+    if ctx is not None and hasattr(ctx, "resolve_path"):
+        path = ctx.resolve_path(path)
+    rec = read_hgrid(path, props.get_string("prefix", ""),
+                     props.get_string("postfix", ""))
+    to_world = props.get_transform("toWorld")
+    rec["world_to_volume"] = to_world.inv
+    return rec
 
 
 @register("volume", "volcache")

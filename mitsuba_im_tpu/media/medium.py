@@ -31,6 +31,12 @@ from ..core.math import Frame, vec3, safe_sqrt
 PH_ISOTROPIC = 0
 PH_HG = 1
 PH_RAYLEIGH = 2
+PH_KKAY = 3         # Kajiya-Kay fiber phase (src/phase/kkay.cpp)
+PH_MICROFLAKE = 4   # Gaussian-fiber microflake (src/phase/microflake.cpp)
+PH_MIX = 5          # weighted mixture (src/phase/mixturephase.cpp)
+
+MIX_MAX = 4         # mixture component slots
+PHASE_TAB = 32      # per-|cos| normalization table resolution
 
 INV_FOURPI = 1.0 / (4.0 * jnp.pi)
 
@@ -57,9 +63,27 @@ class MediumTable:
     alb_w2g: jax.Array  # (M, 12)
     density_atlas: jax.Array  # (D,) f32 sigma_t values (scale * density)
     albedo_atlas: jax.Array  # (A, 3) f32
+    # -- structured phase functions (kkay / microflake / mixture) ----------
+    ph_kd: jax.Array  # (M,) kkay diffuse weight
+    ph_ks: jax.Array  # (M,) kkay specular weight
+    ph_exp: jax.Array  # (M,) kkay specular exponent
+    ph_c: jax.Array  # (M,) microflake D(m) normalization constant
+    ph_inv2s2: jax.Array  # (M,) microflake 1/(2 stddev^2)
+    ph_tab: jax.Array  # (M*PHASE_TAB,) flat per-|cos| table:
+    #   microflake -> projected flake area sigma(c); kkay -> integral of the
+    #   unnormalized lobe over the sphere; 1 otherwise
+    mix_type: jax.Array  # (M, MIX_MAX) int32 component phase types
+    mix_g: jax.Array  # (M, MIX_MAX)
+    mix_w: jax.Array  # (M, MIX_MAX) weights (0 in unused slots)
+    # -- orientation volumes (fiber axis for kkay/microflake) --------------
+    ori_offset: jax.Array  # (M,) int32 into orientation_atlas, -1 = none
+    ori_res: jax.Array  # (M, 3) int32
+    ori_w2g: jax.Array  # (M, 12)
+    orientation_atlas: jax.Array  # (O, 3)
     n_media: int = static_field(default=0)
     used_phase: tuple = static_field(default=())
     has_hetero: bool = static_field(default=False)
+    has_fancy_phase: bool = static_field(default=False)
 
     @property
     def any(self):
@@ -73,10 +97,102 @@ def _pack_grid(atlas: list, rec: dict) -> tuple[int, np.ndarray, np.ndarray]:
 
     data = np.asarray(rec["data"], np.float32)
     zres, yres, xres, _ = data.shape
-    off = sum(a.size for a in atlas)
+    off = sum(a.shape[0] for a in atlas)  # row offset (atlas rows are (C,))
     atlas.append(data.reshape(-1, data.shape[-1]))
     m = grid_world_to_voxel(rec)[:3, :]  # 3x4 rows
     return off, np.asarray([xres, yres, zres], np.int32), m.reshape(12)
+
+
+# ---------------------------------------------------------------------------
+# Host-side phase precomputation (microflake sigma / kkay normalization)
+# ---------------------------------------------------------------------------
+
+def _flake_norm_const(stddev: float) -> float:
+    """Normalization C of D(m) = C exp(-(m.a)^2 / (2 s^2)) over the sphere:
+    flake normals concentrated on the equator w.r.t. the fiber axis a (the
+    Gaussian fiber distribution of microflake.cpp)."""
+    import math
+
+    s = max(float(stddev), 1e-4)
+    integral = 2.0 * np.pi * s * math.sqrt(2.0 * np.pi) * math.erf(
+        1.0 / (s * math.sqrt(2.0)))
+    return 1.0 / integral
+
+
+def _flake_sigma_table(stddev: float, K: int = PHASE_TAB) -> np.ndarray:
+    """Projected flake area sigma(c) = int D(m) |w.m| dm as a function of
+    c = |w.a| (azimuthal symmetry), by Gauss-Legendre x uniform-phi
+    quadrature.  The reference expands this in Chebyshev series
+    (microflake_fiber.h); a 32-entry lerp table is equivalent on the VPU."""
+    s = max(float(stddev), 1e-4)
+    C = _flake_norm_const(s)
+    t, wt = np.polynomial.legendre.leggauss(128)       # cos-theta over m
+    phi = (np.arange(64) + 0.5) * (2.0 * np.pi / 64)
+    st = np.sqrt(np.maximum(1.0 - t * t, 0.0))
+    mx = st[:, None] * np.cos(phi)[None, :]
+    mz = np.broadcast_to(t[:, None], mx.shape)
+    D = C * np.exp(-(mz ** 2) / (2.0 * s * s))
+    cs = np.linspace(0.0, 1.0, K)
+    out = np.empty(K)
+    for i, c in enumerate(cs):
+        sw = np.sqrt(max(1.0 - c * c, 0.0))
+        dot = np.abs(mx * sw + mz * c)                  # w = (sw, 0, c)
+        out[i] = float(np.sum(D * dot * wt[:, None]) * (2.0 * np.pi / 64))
+    return out
+
+
+def _kkay_norm_table(kd: float, ks: float, expo: float,
+                     K: int = PHASE_TAB) -> np.ndarray:
+    """Sphere integral of the unnormalized Kajiya-Kay lobe as a function of
+    c = |cos(axis, w_in)| (the reference normalizes by a single Simpson
+    integral at theta_i = pi/2, kkay.cpp:60-70; normalizing per incident
+    angle keeps the phase function exactly energy-conserving)."""
+    x, wt = np.polynomial.legendre.leggauss(256)
+    cs = np.linspace(0.0, 1.0, K)
+    out = np.empty(K)
+    for i, c in enumerate(cs):
+        si = np.sqrt(max(1.0 - c * c, 0.0))
+        spec = np.maximum(c * x + si * np.sqrt(np.maximum(1 - x * x, 0)), 0.0)
+        lobe = kd + ks * np.where(spec > 0, spec ** max(expo, 0.0), 0.0)
+        out[i] = float(2.0 * np.pi * np.sum(lobe * wt))
+    return np.maximum(out, 1e-9)
+
+
+def _parse_phase(ph: dict):
+    """Flatten a phase record -> per-medium scalar rows + mixture slots."""
+    ptype = int(ph.get("type", PH_ISOTROPIC))
+    row = dict(type=ptype, g=float(ph.get("g", 0.0)),
+               kd=0.0, ks=0.0, exp=1.0, c=0.0, inv2s2=0.0,
+               tab=np.ones(PHASE_TAB),
+               mix_type=np.zeros(MIX_MAX, np.int32),
+               mix_g=np.zeros(MIX_MAX), mix_w=np.zeros(MIX_MAX))
+    if ptype == PH_KKAY:
+        row["kd"] = float(ph.get("kd", 0.2))
+        row["ks"] = float(ph.get("ks", 0.4))
+        row["exp"] = float(ph.get("exponent", 4.0))
+        row["tab"] = _kkay_norm_table(row["kd"], row["ks"], row["exp"])
+    elif ptype == PH_MICROFLAKE:
+        s = float(ph.get("stddev", 0.3))
+        row["c"] = _flake_norm_const(s)
+        row["inv2s2"] = 1.0 / (2.0 * max(s, 1e-4) ** 2)
+        row["tab"] = _flake_sigma_table(s)
+    elif ptype == PH_MIX:
+        comps = ph.get("components", [])[:MIX_MAX]
+        for k, (w, sub) in enumerate(comps):
+            st = int(sub.get("type", PH_ISOTROPIC))
+            if st not in (PH_ISOTROPIC, PH_HG, PH_RAYLEIGH):
+                raise ValueError(
+                    "mixturephase components must be isotropic/hg/rayleigh")
+            row["mix_type"][k] = st
+            row["mix_g"][k] = float(sub.get("g", 0.0))
+            row["mix_w"][k] = float(w)
+        tot = row["mix_w"].sum()
+        if tot > 1.0 + 1e-6:
+            raise ValueError("mixturephase weights must sum to <= 1")
+        if tot <= 0:
+            row["mix_type"][0] = PH_ISOTROPIC
+            row["mix_w"][0] = 1.0
+    return row
 
 
 def build_media(records: list[dict]) -> MediumTable:
@@ -85,8 +201,9 @@ def build_media(records: list[dict]) -> MediumTable:
     M = len(recs)
     ss = np.zeros((M, 3))
     sa = np.zeros((M, 3))
-    pt = np.asarray([r.get("phase", {}).get("type", PH_ISOTROPIC) for r in recs], np.int32)
-    g = np.asarray([r.get("phase", {}).get("g", 0.0) for r in recs], np.float64)
+    ph_rows = [_parse_phase(r.get("phase", {}) or {}) for r in recs]
+    pt = np.asarray([p["type"] for p in ph_rows], np.int32)
+    g = np.asarray([p["g"] for p in ph_rows], np.float64)
 
     hetero = np.zeros(M, np.int32)
     majorant = np.zeros(M, np.float64)
@@ -97,8 +214,12 @@ def build_media(records: list[dict]) -> MediumTable:
     aoff = np.full(M, -1, np.int32)
     ares = np.ones((M, 3), np.int32)
     aw2g = np.tile(np.eye(4)[:3, :].reshape(12), (M, 1))
+    ooff = np.full(M, -1, np.int32)
+    ores = np.ones((M, 3), np.int32)
+    ow2g = np.tile(np.eye(4)[:3, :].reshape(12), (M, 1))
     d_atlas: list = []
     a_atlas: list = []
+    o_atlas: list = []
 
     for i, r in enumerate(recs):
         scale = r.get("scale", 1.0)
@@ -121,6 +242,12 @@ def build_media(records: list[dict]) -> MediumTable:
                 else:
                     ag = dict(ag, data=adata)
                     aoff[i], ares[i], aw2g[i] = _pack_grid(a_atlas, ag)
+            og = r.get("orientation")
+            if og is not None:
+                odata = np.asarray(og["data"], np.float32)
+                if odata.shape[-1] == 3 and odata.size > 3:
+                    og = dict(og, data=odata)
+                    ooff[i], ores[i], ow2g[i] = _pack_grid(o_atlas, og)
         else:
             ss[i] = np.asarray(r["sigma_s"], np.float64) * scale
             sa[i] = np.asarray(r["sigma_a"], np.float64) * scale
@@ -129,6 +256,9 @@ def build_media(records: list[dict]) -> MediumTable:
             else np.zeros(1, np.float32))
     alb = (np.concatenate(a_atlas, axis=0) if a_atlas
            else np.zeros((1, 3), np.float32))
+    ori = (np.concatenate(o_atlas, axis=0) if o_atlas
+           else np.zeros((1, 3), np.float32))
+    fancy = {PH_KKAY, PH_MICROFLAKE, PH_MIX} & set(int(x) for x in pt)
     return MediumTable(
         sigma_s=jnp.asarray(ss, Float), sigma_a=jnp.asarray(sa, Float),
         sigma_t=jnp.asarray(ss + sa, Float),
@@ -141,9 +271,23 @@ def build_media(records: list[dict]) -> MediumTable:
         alb_w2g=jnp.asarray(aw2g, Float),
         density_atlas=jnp.asarray(dens, Float),
         albedo_atlas=jnp.asarray(alb, Float),
+        ph_kd=jnp.asarray([p["kd"] for p in ph_rows], Float),
+        ph_ks=jnp.asarray([p["ks"] for p in ph_rows], Float),
+        ph_exp=jnp.asarray([p["exp"] for p in ph_rows], Float),
+        ph_c=jnp.asarray([p["c"] for p in ph_rows], Float),
+        ph_inv2s2=jnp.asarray([p["inv2s2"] for p in ph_rows], Float),
+        ph_tab=jnp.asarray(
+            np.concatenate([p["tab"] for p in ph_rows]), Float),
+        mix_type=jnp.asarray(np.stack([p["mix_type"] for p in ph_rows]), Int),
+        mix_g=jnp.asarray(np.stack([p["mix_g"] for p in ph_rows]), Float),
+        mix_w=jnp.asarray(np.stack([p["mix_w"] for p in ph_rows]), Float),
+        ori_offset=jnp.asarray(ooff, Int), ori_res=jnp.asarray(ores, Int),
+        ori_w2g=jnp.asarray(ow2g, Float),
+        orientation_atlas=jnp.asarray(ori, Float),
         n_media=len(records),
         used_phase=tuple(sorted(set(int(x) for x in pt))),
         has_hetero=bool(hetero.any()),
+        has_fancy_phase=bool(fancy),
     )
 
 
@@ -544,6 +688,210 @@ def phase_sample_v(ptype, g, wi, u1, u2):
     wo = v.where(ptype == PH_HG, wo_hg, wo)
     wo = v.where(ptype == PH_RAYLEIGH, wo_ray, wo)
     return wo, phase_eval_v(ptype, g, wi, wo)
+
+
+# ---------------------------------------------------------------------------
+# Structured phase functions: kkay / microflake / mixture (SoA, ctx-based)
+#
+# ``wi`` is the propagation direction INTO the collision (matching
+# phase_eval_v). The fiber axis comes from the medium's orientation volume
+# at the scatter point (heterogeneous.cpp 'orientation' child), falling
+# back to +z.  All three integrate to exactly 1 over wo (mixture: to the
+# weight total), verified by the chi2/quadrature tests.
+# ---------------------------------------------------------------------------
+
+def orientation_at_v(media: MediumTable, mid: jax.Array, p):
+    """Fiber axis at world points p (V3): normalized orientation-volume
+    lookup, +z where the medium has no orientation data or the local
+    vector vanishes."""
+    from ..core import v3 as v
+
+    idx = jnp.where(mid == INVALID, 0, mid)
+    off = media.ori_offset[idx]
+    res = tuple(v.gather_col(media.ori_res[:, k], idx) for k in range(3))
+    w2g = tuple(v.gather_col(media.ori_w2g[:, k], idx) for k in range(12))
+    vec = _trilinear_v(media.orientation_atlas, jnp.maximum(off, 0),
+                       res, w2g, p, vec_out=True)
+    ln = vec.norm()
+    ok = (off >= 0) & (ln > 1e-6)
+    z = jnp.zeros_like(ln)
+    fallback = v.V3(z, z, jnp.ones_like(ln))
+    return v.where(ok, vec * (1.0 / jnp.maximum(ln, 1e-6)), fallback)
+
+
+def _tab_interp_v(tab_flat, mid, c):
+    """Lerp into the per-medium (PHASE_TAB,) tables over |c| in [0,1]."""
+    cc = jnp.clip(jnp.abs(c), 0.0, 1.0) * (PHASE_TAB - 1)
+    j0 = jnp.minimum(jnp.floor(cc).astype(Int), PHASE_TAB - 2)
+    f = cc - j0.astype(Float)
+    base = mid * PHASE_TAB
+    a = tab_flat[base + j0]
+    b = tab_flat[base + j0 + 1]
+    return a + (b - a) * f
+
+
+def phase_ctx_v(media: MediumTable, mid: jax.Array, p) -> dict:
+    """Per-lane phase context at scatter points p; cheap (type/g only)
+    when the scene has no structured phases (static gating)."""
+    from ..core import v3 as v
+
+    idx = jnp.where(mid == INVALID, 0, mid)
+    ctx = dict(
+        mid=idx,
+        ptype=v.gather_col(media.phase_type, idx),
+        g=v.gather_col(media.g, idx),
+    )
+    if media.has_fancy_phase:
+        ctx.update(
+            kd=v.gather_col(media.ph_kd, idx),
+            ks=v.gather_col(media.ph_ks, idx),
+            exp=v.gather_col(media.ph_exp, idx),
+            fc=v.gather_col(media.ph_c, idx),
+            inv2s2=v.gather_col(media.ph_inv2s2, idx),
+            mix_type=tuple(v.gather_col(media.mix_type[:, k], idx)
+                           for k in range(MIX_MAX)),
+            mix_g=tuple(v.gather_col(media.mix_g[:, k], idx)
+                        for k in range(MIX_MAX)),
+            mix_w=tuple(v.gather_col(media.mix_w[:, k], idx)
+                        for k in range(MIX_MAX)),
+            axis=orientation_at_v(media, mid, p),
+        )
+    return ctx
+
+
+def _kkay_lobe(ctx, wi, wo):
+    """Unnormalized Kajiya-Kay lobe kd + ks cos^e(theta_i - theta_o)."""
+    axis = ctx["axis"]
+    u = (-wi).dot(axis)
+    vv = wo.dot(axis)
+    si = safe_sqrt(1.0 - u * u)
+    so = safe_sqrt(1.0 - vv * vv)
+    spec = jnp.maximum(u * vv + si * so, 0.0)
+    e = jnp.maximum(ctx["exp"], 0.0)
+    return ctx["kd"] + ctx["ks"] * jnp.where(
+        spec > 0, jnp.exp(e * jnp.log(jnp.maximum(spec, 1e-20))), 0.0)
+
+
+def _flake_D(ctx, t):
+    """Gaussian fiber-normal distribution D(m) at t = m.axis."""
+    return ctx["fc"] * jnp.exp(-t * t * ctx["inv2s2"])
+
+
+def _mix_eval(ctx, wi, wo):
+    out = jnp.zeros(wi.x.shape, Float)
+    for k in range(MIX_MAX):
+        out = out + ctx["mix_w"][k] * phase_eval_v(
+            ctx["mix_type"][k], ctx["mix_g"][k], wi, wo)
+    return out
+
+
+def phase_eval_ctx_v(media: MediumTable, ctx: dict, wi, wo):
+    """p(wi -> wo) with full dispatch over the scene's phase set."""
+    val = phase_eval_v(ctx["ptype"], ctx["g"], wi, wo)
+    if not media.has_fancy_phase:
+        return val
+    axis = ctx["axis"]
+    ptype = ctx["ptype"]
+    # kkay: per-incident-angle normalized lobe
+    norm = _tab_interp_v(media.ph_tab, ctx["mid"], (-wi).dot(axis))
+    kk = _kkay_lobe(ctx, wi, wo) / norm
+    # microflake: D(h)/(2 sigma(w)); h = the mirror flake normal.  The
+    # reflection map m -> wo is 2-to-1 (antipodal flakes coincide), so the
+    # change of variables gives  int D(h) dwo = 2 sigma(w).
+    h = wo - wi
+    hl = jnp.maximum(h.norm(), 1e-8)
+    hn = h * (1.0 / hl)
+    sigma = _tab_interp_v(media.ph_tab, ctx["mid"], wi.dot(axis))
+    mf = _flake_D(ctx, hn.dot(axis)) / (2.0 * jnp.maximum(sigma, 1e-8))
+    mix = _mix_eval(ctx, wi, wo)
+    out = val
+    out = jnp.where(ptype == PH_KKAY, kk, out)
+    out = jnp.where(ptype == PH_MICROFLAKE, mf, out)
+    out = jnp.where(ptype == PH_MIX, mix, out)
+    return out
+
+
+def phase_pdf_ctx_v(media: MediumTable, ctx: dict, wi, wo):
+    """pdf of :func:`phase_sample_ctx_v` producing wo (for MIS)."""
+    pdf = phase_eval_v(ctx["ptype"], ctx["g"], wi, wo)  # value-prop sampling
+    if not media.has_fancy_phase:
+        return pdf
+    ptype = ctx["ptype"]
+    axis = ctx["axis"]
+    # kkay samples the uniform sphere
+    kk = jnp.full(pdf.shape, INV_FOURPI)
+    # microflake samples m ~ D then mirrors: pdf = D(h) / (2 |wi.h|)
+    h = wo - wi
+    hl = jnp.maximum(h.norm(), 1e-8)
+    hn = h * (1.0 / hl)
+    mf = _flake_D(ctx, hn.dot(axis)) / (
+        2.0 * jnp.maximum(jnp.abs(wi.dot(hn)), 1e-6))
+    mix_tot = sum(ctx["mix_w"][k] for k in range(MIX_MAX))
+    mix = _mix_eval(ctx, wi, wo) / jnp.maximum(mix_tot, 1e-8)
+    pdf = jnp.where(ptype == PH_KKAY, kk, pdf)
+    pdf = jnp.where(ptype == PH_MICROFLAKE, mf, pdf)
+    pdf = jnp.where(ptype == PH_MIX, mix, pdf)
+    return pdf
+
+
+def phase_sample_ctx_v(media: MediumTable, ctx: dict, wi, u0, u1, u2):
+    """Sample wo; returns (wo V3, pdf, weight = eval/pdf)."""
+    from ..core import v3 as v
+
+    if not media.has_fancy_phase:
+        wo, pdf = phase_sample_v(ctx["ptype"], ctx["g"], wi, u0, u1)
+        return wo, pdf, jnp.ones_like(pdf)
+
+    ptype = ctx["ptype"]
+    axis = ctx["axis"]
+
+    # mixture: pick a component by weight, then value-proportional sampling
+    mix_tot = sum(ctx["mix_w"][k] for k in range(MIX_MAX))
+    cum = jnp.zeros_like(mix_tot)
+    sel_t = ctx["mix_type"][0]
+    sel_g = ctx["mix_g"][0]
+    for k in range(MIX_MAX):
+        lo = cum
+        cum = cum + ctx["mix_w"][k] / jnp.maximum(mix_tot, 1e-8)
+        inside = (u2 >= lo) & (u2 < jnp.minimum(cum, 1.0 - 1e-7) + 1e-7)
+        sel_t = jnp.where(inside & (ctx["mix_w"][k] > 0),
+                          ctx["mix_type"][k], sel_t)
+        sel_g = jnp.where(inside & (ctx["mix_w"][k] > 0),
+                          ctx["mix_g"][k], sel_g)
+    eff_t = jnp.where(ptype == PH_MIX, sel_t, ptype)
+    eff_g = jnp.where(ptype == PH_MIX, sel_g, ctx["g"])
+    wo_s, _ = phase_sample_v(eff_t, eff_g, wi, u0, u1)
+
+    # kkay: uniform sphere
+    wo_kk = v.square_to_uniform_sphere(u0, u1)
+
+    # microflake: m ~ D (Gaussian in m.axis via erfinv), wo = mirror(wi, m)
+    from jax.scipy.special import erf, erfinv
+
+    s = 1.0 / jnp.sqrt(jnp.maximum(2.0 * ctx["inv2s2"], 1e-8))
+    emax = erf(1.0 / (jnp.sqrt(2.0) * jnp.maximum(s, 1e-6)))
+    t = jnp.sqrt(2.0) * s * erfinv(
+        jnp.clip((2.0 * u0 - 1.0) * emax, -0.999999, 0.999999))
+    t = jnp.clip(t, -1.0, 1.0)
+    st_m = safe_sqrt(1.0 - t * t)
+    phi = 2.0 * jnp.pi * u1
+    fr = v.frame_from_normal(axis)
+    m = v.to_world(fr, v.V3(st_m * jnp.cos(phi), st_m * jnp.sin(phi), t))
+    wo_mf = wi - m * (2.0 * wi.dot(m))
+
+    wo = wo_s
+    wo = v.where(ptype == PH_KKAY, wo_kk, wo)
+    wo = v.where(ptype == PH_MICROFLAKE, wo_mf, wo)
+    pdf = phase_pdf_ctx_v(media, ctx, wi, wo)
+    val = phase_eval_ctx_v(media, ctx, wi, wo)
+    weight = jnp.where(pdf > 1e-12, val / jnp.maximum(pdf, 1e-12), 0.0)
+    # value-proportional families keep weight exactly 1 (resp. the mixture
+    # weight total); guard numerical noise on those lanes
+    simple = (ptype == PH_ISOTROPIC) | (ptype == PH_HG) | (
+        ptype == PH_RAYLEIGH)
+    weight = jnp.where(simple, 1.0, weight)
+    weight = jnp.where(ptype == PH_MIX, mix_tot, weight)
+    return wo, pdf, weight
 
 
 # ---------------------------------------------------------------------------

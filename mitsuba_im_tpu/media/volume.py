@@ -51,6 +51,63 @@ def read_vol(path: str) -> dict:
     )
 
 
+def read_hgrid(path: str, prefix: str, postfix: str) -> dict:
+    """Load a hierarchical grid dictionary + its cell blocks into one dense
+    grid.
+
+    Dictionary layout (``/root/reference/src/volume/hgridvolume.cpp:70-99``):
+    6x float32 AABB, 3x int32 cell resolution, then repeated 3x int32 block
+    coordinates until EOF; each block ``{prefix}{x:03d}_{y:03d}_{z:03d}
+    {postfix}`` is a regular ``.vol`` grid.  Blocks are composited at the
+    finest block resolution; absent cells are zero.
+    """
+    import os
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    xmin, ymin, zmin, xmax, ymax, zmax = struct.unpack_from("<6f", raw, 0)
+    rx, ry, rz = struct.unpack_from("<3i", raw, 24)
+    blocks = []
+    off = 36
+    while off + 12 <= len(raw):
+        blocks.append(struct.unpack_from("<3i", raw, off))
+        off += 12
+    base = os.path.dirname(path)
+    cells = {}
+    bres = np.ones(3, np.int64)
+    channels = 1
+    for bx, by, bz in blocks:
+        bp = os.path.join(base, f"{prefix}{bx:03d}_{by:03d}_{bz:03d}{postfix}")
+        if not os.path.exists(bp):
+            bp2 = f"{prefix}{bx:03d}_{by:03d}_{bz:03d}{postfix}"
+            if os.path.exists(bp2):
+                bp = bp2
+            else:
+                continue
+        cell = read_vol(bp)
+        d = cell["data"]
+        cells[(bx, by, bz)] = d
+        bres = np.maximum(bres, [d.shape[2], d.shape[1], d.shape[0]])
+        channels = max(channels, d.shape[-1])
+    nx, ny, nz = int(bres[0]), int(bres[1]), int(bres[2])
+    dense = np.zeros((rz * nz, ry * ny, rx * nx, channels), np.float32)
+    for (bx, by, bz), d in cells.items():
+        if d.shape[:3] != (nz, ny, nx):  # nearest-resample coarser blocks
+            zi = (np.arange(nz) * d.shape[0]) // nz
+            yi = (np.arange(ny) * d.shape[1]) // ny
+            xi = (np.arange(nx) * d.shape[2]) // nx
+            d = d[zi][:, yi][:, :, xi]
+        if d.shape[-1] != channels:
+            d = np.repeat(d[..., :1], channels, axis=-1)
+        dense[bz * nz:(bz + 1) * nz, by * ny:(by + 1) * ny,
+              bx * nx:(bx + 1) * nx] = d
+    return dict(
+        data=dense,
+        bmin=np.asarray([xmin, ymin, zmin], np.float64),
+        bmax=np.asarray([xmax, ymax, zmax], np.float64),
+    )
+
+
 def write_vol(path: str, data: np.ndarray, bmin, bmax) -> None:
     """Write (Z,Y,X) or (Z,Y,X,C) float32 data as a version-3 ``.vol``."""
     d = np.asarray(data, np.float32)

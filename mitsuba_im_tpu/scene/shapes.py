@@ -285,6 +285,120 @@ def _deformable(props: Properties, ctx=None):
     return None
 
 
+def load_hair(path: str) -> list[np.ndarray]:
+    """Parse a Mitsuba hair file into a list of per-strand (n, 3) arrays.
+
+    Formats per ``/root/reference/src/shapes/hair.cpp``: either the binary
+    layout (magic ``BINARY_HAIR``, uint32 total vertex count, float32 xyz
+    triples with an ``inf`` x-coordinate sentinel starting a new strand) or
+    plain text (one ``x y z`` per line, blank line separates strands).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    strands: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 2:
+            strands.append(np.asarray(cur, np.float64))
+        cur = []
+
+    if raw[:11] == b"BINARY_HAIR":
+        n_verts = int(np.frombuffer(raw, "<u4", count=1, offset=11)[0])
+        data = np.frombuffer(raw, "<f4", offset=15)
+        i = 0
+        read = 0
+        while read < n_verts and i + 3 <= len(data):
+            if np.isinf(data[i]):  # strand break sentinel
+                flush()
+                i += 1
+                continue
+            cur.append(np.asarray(data[i : i + 3], np.float64))
+            i += 3
+            read += 1
+        flush()
+    else:
+        for line in raw.decode("utf-8", "replace").splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                flush()
+                continue
+            parts = line.split()
+            if len(parts) >= 3:
+                cur.append(np.asarray([float(x) for x in parts[:3]]))
+        flush()
+    return strands
+
+
+def tessellate_hair(strands: list[np.ndarray], radius: float,
+                    sides: int = 4) -> TriMesh:
+    """Tessellate hair strands into watertight view-independent tubes.
+
+    Each strand becomes a generalized cylinder: a ring of ``sides`` vertices
+    per control point, frames parallel-transported along the strand so the
+    tube never twists, adjacent rings stitched with quads (2 tris each).
+    Radial smooth normals reproduce the reference's circular cross-section
+    shading (hair.cpp fillIntersectionRecord); the kd-tree-over-segments
+    acceleration is subsumed by the generic triangle intersector.
+    """
+    pos, nrm, idx = [], [], []
+    off = 0
+    ang = np.arange(sides) * (2.0 * np.pi / sides)
+    ca, sa = np.cos(ang), np.sin(ang)
+    for strand in strands:
+        n = len(strand)
+        tang = np.empty_like(strand)
+        tang[1:-1] = strand[2:] - strand[:-2]
+        tang[0] = strand[1] - strand[0]
+        tang[-1] = strand[-1] - strand[-2]
+        tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-12)
+        # parallel-transport an initial frame along the strand
+        u = np.cross(tang[0], [0.0, 0.0, 1.0])
+        if np.linalg.norm(u) < 1e-6:
+            u = np.cross(tang[0], [0.0, 1.0, 0.0])
+        u /= np.linalg.norm(u)
+        for k in range(n):
+            if k > 0:
+                # rotate u from tang[k-1] to tang[k] (Rodrigues, small angle)
+                axis = np.cross(tang[k - 1], tang[k])
+                s = np.linalg.norm(axis)
+                c = float(np.dot(tang[k - 1], tang[k]))
+                if s > 1e-9:
+                    axis = axis / s
+                    u = (u * c + np.cross(axis, u) * s
+                         + axis * np.dot(axis, u) * (1.0 - c))
+            u -= tang[k] * np.dot(u, tang[k])
+            u /= max(np.linalg.norm(u), 1e-12)
+            w = np.cross(tang[k], u)
+            ring_n = np.outer(ca, u) + np.outer(sa, w)     # (sides, 3)
+            pos.append(strand[k] + radius * ring_n)
+            nrm.append(ring_n)
+        for k in range(n - 1):
+            a = off + k * sides
+            b = a + sides
+            for j in range(sides):
+                j2 = (j + 1) % sides
+                idx.append([a + j, a + j2, b + j2])
+                idx.append([b + j2, b + j, a + j])
+        off += n * sides
+    if not pos:
+        raise ValueError("hair file contains no strands")
+    return TriMesh(np.concatenate(pos), np.asarray(idx, np.int64),
+                   np.concatenate(nrm), None)
+
+
 @register("shape", "hair")
 def _hair(props: Properties, ctx=None):
-    raise NotImplementedError("hair shape not yet supported")
+    """Hair shape (``/root/reference/src/shapes/hair.cpp``): strands loaded
+    from the text/binary hair format and tessellated to smooth tubes."""
+    path = ctx.resolve_path(props.get_string("filename"))
+    radius = props.get_float("radius", 0.025)
+    reduction = props.get_float("reduction", 0.0)
+    strands = load_hair(path)
+    if reduction > 0.0 and strands:
+        keep = max(1, int(round(len(strands) * (1.0 - reduction))))
+        sel = np.random.default_rng(0).permutation(len(strands))[:keep]
+        strands = [strands[i] for i in sorted(sel)]
+    mesh = tessellate_hair(strands, radius)
+    return _finish_mesh(props, ctx, mesh)

@@ -158,6 +158,8 @@ class SceneLoader:
             if category == "bsdf" and key == "bsdf" and "bsdf" in props.children:
                 props.children.setdefault("bsdf_list", [props.children["bsdf"]])
                 props.children["bsdf_list"].append(val)
+            if category == "phase" and key == "phase":
+                props.children.setdefault("phase_list", []).append(val)
             props.children[key] = val
             if category == "bsdf" and "bsdf_list" in props.children and key == "bsdf":
                 pass

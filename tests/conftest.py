@@ -23,6 +23,22 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Fast smoke tier: `pytest -m quick` runs these modules (< 90 s total on the
+# 8-device CPU mesh), so round-trip iteration doesn't pay the 17-minute full
+# suite.  Keep a module here only while its wall time stays a few seconds.
+QUICK_MODULES = {
+    "test_core.py", "test_io.py", "test_numerics.py", "test_statistics.py",
+    "test_sunsky.py", "test_mtsimport.py", "test_rtrans.py",
+    "test_native_mesh.py", "test_intersect.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if mod in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
