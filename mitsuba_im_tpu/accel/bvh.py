@@ -35,14 +35,24 @@ class FlatBVH:
         return self.node_lo.shape[0]
 
 
-def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray, leaf_size: int = 4) -> FlatBVH:
-    """Build from per-primitive AABBs; prefers the native SAH builder."""
+def build_bvh_arrays(prim_lo: np.ndarray, prim_hi: np.ndarray,
+                     leaf_size: int = 4) -> dict:
+    """Host-side build from per-primitive AABBs -> dict of numpy arrays
+    (node_lo/node_hi/node_start/node_count/node_skip/order); prefers the
+    native SAH builder.  Stays off-device so downstream packing (the
+    cluster hierarchy) avoids tunnel round-trips."""
     prim_lo = np.asarray(prim_lo, np.float32)
     prim_hi = np.asarray(prim_hi, np.float32)
     cent = (prim_lo + prim_hi) * 0.5
     out = native.build_bvh_native(prim_lo, prim_hi, cent, leaf_size)
     if out is None:
         out = _build_numpy(prim_lo, prim_hi, cent, leaf_size)
+    return out
+
+
+def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray, leaf_size: int = 4) -> FlatBVH:
+    """Build from per-primitive AABBs; prefers the native SAH builder."""
+    out = build_bvh_arrays(prim_lo, prim_hi, leaf_size)
     return FlatBVH(
         node_lo=jnp.asarray(out["node_lo"], Float),
         node_hi=jnp.asarray(out["node_hi"], Float),

@@ -1,0 +1,342 @@
+"""Two-level cluster hierarchy: the large-scene (~1M+ triangle) intersector.
+
+Extends the single-level cluster marcher (:mod:`mitsuba_im_tpu.accel.cluster`)
+with a second level so per-visit cost stops scaling with the global cluster
+count.  This is the TPU answer to the reference's SAH kd-tree
+(``/root/reference/include/mitsuba/render/gkdtree.h:1050`` parallel build,
+``skdtree.h:431`` Havran traversal): instead of a per-lane pointer walk
+(hostile to 8x128 vector lanes — every step is a divergent gather), rays
+march *supers* and *clusters* in increasing entry-``t`` order using a
+lexicographic gate, so all per-step work is dense vector math plus one
+contiguous row gather:
+
+- **clusters**: <=``LEAF`` triangles each (binned-SAH leaves), stored as
+  padded ``(S*SUP, LEAF, 9)`` blocks — one cluster loads as a single
+  contiguous row gather per lane;
+- **supers**: <=``SUP`` clusters each (a second SAH build over cluster
+  AABBs).  A ray sweeps the ``S`` super AABBs (dense ``(N, chunk)`` slab
+  tests), enters the nearest unvisited super with entry < current best hit,
+  slab-tests its ``SUP`` child AABBs (one ``(N, SUP, 3)`` gather), and
+  marches the children nearest-first, Moeller-Trumbore-testing one cluster
+  block per step.
+
+Cost per closest hit is ``O(S/chunk)`` sweeps + a handful of 1.5 KB/2.3 KB
+row gathers, independent of total triangle count; capacity is
+``S * SUP * LEAF`` (= 4.2M triangles at S=1024 with default tuning, and S is
+unbounded).
+
+Instancing (``/root/reference/src/shapes/instance.cpp``) composes at the
+super level: each super carries an instance id; child AABBs and triangle
+blocks are stored in *local* (BLAS) space and shared across instances, while
+super AABBs are world-space.  Rays transform into instance space with an
+unnormalized direction so the ``t`` parameter stays world-consistent.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, static_field, Float, Int
+
+LEAF = 64  # triangles per cluster
+SUP = 64   # clusters per super
+BIG = 3.0e37
+
+
+@pytree_dataclass
+class Hierarchy:
+    sup_lo: jax.Array   # (S, 3) world-space super AABBs
+    sup_hi: jax.Array   # (S, 3)
+    sup_inst: jax.Array  # (S,) instance id (0 = identity for non-instanced)
+    ch_lo: jax.Array    # (S, SUP, 3) child cluster AABBs, local space
+    ch_hi: jax.Array    # (S, SUP, 3) (padding: lo=+BIG, hi=-BIG)
+    tris: jax.Array     # (S*SUP, LEAF, 9) p0|e1|e2, local space
+    prim: jax.Array     # (S*SUP, LEAF) original triangle ids
+    valid: jax.Array    # (S*SUP, LEAF) 1/0
+    inst_inv: jax.Array  # (I, 3, 4) world->local affine transforms
+    inst_fwd: jax.Array  # (I, 3, 4) local->world (normals need inv^T = fwd rows)
+    n_supers: int = static_field(default=0)
+    n_tris: int = static_field(default=0)
+
+
+def _pack_leaves(flat, soup, tri_ids=None):
+    """Extract (C, LEAF-padded) cluster blocks from a host BVH dict's leaves.
+
+    Returns (cl_lo, cl_hi, tris, prim, valid) with C = number of leaves,
+    blocks in DFS (spatially coherent) order.
+    """
+    node_count = flat["node_count"]
+    node_start = flat["node_start"]
+    node_lo = flat["node_lo"]
+    node_hi = flat["node_hi"]
+    order = flat["order"]
+
+    leaves = np.nonzero(node_count > 0)[0]
+    C = len(leaves)
+    counts = node_count[leaves]
+    starts = node_start[leaves]
+    # vectorized packing: (C, LEAF) index matrix into `order`
+    k = np.arange(LEAF)[None, :]
+    vmask = k < counts[:, None]
+    idx = np.minimum(starts[:, None] + k, len(order) - 1)
+    ids = order[idx]
+    ids = np.where(vmask, ids, 0)
+    tris = np.where(vmask[:, :, None], soup[ids], 0.0).astype(np.float32)
+    prim = np.where(vmask, ids if tri_ids is None else tri_ids[ids], 0)
+    return (node_lo[leaves], node_hi[leaves], tris,
+            prim.astype(np.int32), vmask.astype(np.float32))
+
+
+def build_hierarchy(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                    leaf_size: int = LEAF) -> Hierarchy:
+    """Two SAH passes: triangles -> clusters, cluster AABBs -> supers."""
+    from . import bvh as bvh_mod
+
+    p0 = np.asarray(p0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    soup = np.concatenate([p0, e1, e2], axis=1)  # (T, 9)
+
+    lo, hi = bvh_mod.tri_bounds(p0, e1, e2)
+    flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=leaf_size)
+    cl_lo, cl_hi, tris, prim, valid = _pack_leaves(flat, soup)
+    C = cl_lo.shape[0]
+
+    # second level: SAH over cluster AABBs
+    flat2 = bvh_mod.build_bvh_arrays(cl_lo, cl_hi, leaf_size=SUP)
+    n2_count = flat2["node_count"]
+    n2_start = flat2["node_start"]
+    n2_lo = flat2["node_lo"]
+    n2_hi = flat2["node_hi"]
+    order2 = flat2["order"]
+    sup = np.nonzero(n2_count > 0)[0]
+    S = len(sup)
+
+    ch_lo = np.full((S, SUP, 3), BIG, np.float32)
+    ch_hi = np.full((S, SUP, 3), -BIG, np.float32)
+    tris_p = np.zeros((S * SUP, LEAF, 9), np.float32)
+    prim_p = np.zeros((S * SUP, LEAF), np.int32)
+    valid_p = np.zeros((S * SUP, LEAF), np.float32)
+    counts = n2_count[sup]
+    starts = n2_start[sup]
+    k = np.arange(SUP)[None, :]
+    cmask = k < counts[:, None]
+    cidx = np.minimum(starts[:, None] + k, len(order2) - 1)
+    cids = np.where(cmask, order2[cidx], 0)  # (S, SUP) cluster ids
+    ch_lo[cmask] = cl_lo[cids[cmask]]
+    ch_hi[cmask] = cl_hi[cids[cmask]]
+    flatmask = cmask.reshape(-1)
+    flatcids = cids.reshape(-1)
+    tris_p[flatmask] = tris[flatcids[flatmask]]
+    prim_p[flatmask] = prim[flatcids[flatmask]]
+    valid_p[flatmask] = valid[flatcids[flatmask]]
+
+    ident = np.concatenate([np.eye(3, dtype=np.float32),
+                            np.zeros((3, 1), np.float32)], axis=1)[None]
+    return Hierarchy(
+        sup_lo=jnp.asarray(n2_lo[sup], Float),
+        sup_hi=jnp.asarray(n2_hi[sup], Float),
+        sup_inst=jnp.zeros((S,), Int),
+        ch_lo=jnp.asarray(ch_lo, Float), ch_hi=jnp.asarray(ch_hi, Float),
+        tris=jnp.asarray(tris_p, Float), prim=jnp.asarray(prim_p, Int),
+        valid=jnp.asarray(valid_p, Float),
+        inst_inv=jnp.asarray(ident, Float), inst_fwd=jnp.asarray(ident, Float),
+        n_supers=S, n_tris=int(len(p0)),
+    )
+
+
+def _nearest_super(h: Hierarchy, o, inv_d, tmin, t_best, gate_t, gate_c):
+    """Lex-gated argmin of super entry-t: chunked dense slab sweep."""
+    N = o.shape[0]
+    S = h.n_supers
+    CH = min(256, max(8, S))
+    n_chunks = -(-S // CH)
+    pad_S = n_chunks * CH
+    # degenerate far-away pad box: min==max -> the slab test rejects it for
+    # every ray direction (an inverted-box pad would "hit" everything)
+    lo = jnp.pad(h.sup_lo, ((0, pad_S - S), (0, 0)), constant_values=1e30)
+    hi = jnp.pad(h.sup_hi, ((0, pad_S - S), (0, 0)), constant_values=1e30)
+
+    def chunk_body(kk, carry):
+        best_e, best_c = carry
+        sl = jax.lax.dynamic_slice_in_dim(lo, kk * CH, CH, 0)
+        sh = jax.lax.dynamic_slice_in_dim(hi, kk * CH, CH, 0)
+        t0 = (sl[None] - o[:, None, :]) * inv_d[:, None, :]
+        t1 = (sh[None] - o[:, None, :]) * inv_d[:, None, :]
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_best[:, None])
+        cid = kk * CH + jax.lax.broadcasted_iota(Int, (N, CH), 1)
+        okm = (tn <= tf) & (tn < 1e30) & (
+            (tn > gate_t[:, None])
+            | ((tn == gate_t[:, None]) & (cid > gate_c[:, None]))
+        )
+        e = jnp.where(okm, tn, BIG)
+        emin = jnp.min(e, axis=1)
+        first = jnp.argmax(e == emin[:, None], axis=1)
+        cmin = kk * CH + first
+        take = emin < best_e
+        return (jnp.where(take, emin, best_e),
+                jnp.where(take, cmin.astype(Int), best_c))
+
+    init = (jnp.full((N,), BIG, Float), jnp.zeros((N,), Int))
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+
+CHUNK_RAYS = 32768  # rays per while-loop cohort (bounds straggler cost)
+
+
+def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
+    """Closest-hit (or any-hit) march over the two-level hierarchy.
+
+    o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
+    of flat (N,) arrays; t is the world-space ray parameter.
+
+    Rays run in cohorts of ``CHUNK_RAYS``: the marching while-loops run in
+    lockstep over a cohort, so a straggler lane only stalls its own cohort
+    instead of the full wavefront (and the (cohort, SUP, 9) gather
+    transients stay bounded).
+    """
+    N = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (N,))
+    if N > CHUNK_RAYS:
+        pad = (-N) % CHUNK_RAYS
+        K = (N + pad) // CHUNK_RAYS
+        rs = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+        ).reshape((K, CHUNK_RAYS) + a.shape[1:]) if pad else \
+            a.reshape((K, CHUNK_RAYS) + a.shape[1:])
+        d_pad = jnp.concatenate(
+            [d, jnp.ones((pad, 3), d.dtype)]) if pad else d
+        tmax_pad = jnp.concatenate(
+            [tmax, jnp.full((pad,), -1.0, Float)]) if pad else tmax
+        res = jax.lax.map(
+            lambda args: _intersect_chunk(h, *args, any_hit=any_hit),
+            (rs(o), d_pad.reshape(K, CHUNK_RAYS, 3),
+             rs(tmin), tmax_pad.reshape(K, CHUNK_RAYS)),
+        )
+        return {k: val.reshape(-1)[:N] for k, val in res.items()}
+    return _intersect_chunk(h, o, d, tmin, tmax, any_hit=any_hit)
+
+
+def _intersect_chunk(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
+    N = o.shape[0]
+    d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv_d = 1.0 / d_safe
+    instanced = h.inst_inv.shape[0] > 1
+    sup_iota = jax.lax.broadcasted_iota(Int, (N, SUP), 1)
+
+    def outer_body(st):
+        (t_b, u_b, v_b, p_b, i_b, found, sg_t, sg_c, active) = st
+        se, sid = _nearest_super(h, o, inv_d, tmin, t_b, sg_t, sg_c)
+        has = (se < BIG) & active
+        sidc = jnp.where(has, sid, 0)
+
+        # transform the ray into instance-local space (t-preserving:
+        # direction is NOT renormalized)
+        if instanced:
+            inst = h.sup_inst[sidc]
+            M = h.inst_inv[inst]  # (N, 3, 4)
+            ol = jnp.einsum("nij,nj->ni", M[:, :, :3], o) + M[:, :, 3]
+            dl = jnp.einsum("nij,nj->ni", M[:, :, :3], d)
+            dl_safe = jnp.where(jnp.abs(dl) < 1e-20,
+                                jnp.where(dl < 0, -1e-20, 1e-20), dl)
+            invl = 1.0 / dl_safe
+        else:
+            inst = jnp.zeros((N,), Int)
+            ol, dl, invl = o, d, inv_d
+
+        clo = h.ch_lo[sidc]  # (N, SUP, 3)
+        chi = h.ch_hi[sidc]
+        t0 = (clo - ol[:, None, :]) * invl[:, None, :]
+        t1 = (chi - ol[:, None, :]) * invl[:, None, :]
+        ctn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
+        ctf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax[:, None])
+        centry = jnp.where(ctn <= ctf, ctn, BIG)  # (N, SUP)
+
+        def inner_body(ist):
+            (t_b, u_b, v_b, p_b, i_b, found, ig_t, ig_c, iact) = ist
+            gated = (
+                (centry > ig_t[:, None])
+                | ((centry == ig_t[:, None]) & (sup_iota > ig_c[:, None]))
+            )
+            e = jnp.where(gated & (centry <= t_b[:, None]), centry, BIG)
+            emin = jnp.min(e, axis=1)
+            kk = jnp.argmax(e == emin[:, None], axis=1)
+            ihas = (emin < BIG) & iact
+            cid = sidc * SUP + jnp.where(ihas, kk, 0)
+
+            blk = h.tris[cid]     # (N, LEAF, 9)
+            vmask = h.valid[cid] > 0
+            pids = h.prim[cid]
+
+            ox = ol[:, None, :]
+            dx = dl[:, None, :]
+            tp0 = blk[..., 0:3]
+            te1 = blk[..., 3:6]
+            te2 = blk[..., 6:9]
+            pv = jnp.cross(dx, te2)
+            det = jnp.sum(te1 * pv, -1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                                1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            tvv = ox - tp0
+            uu = jnp.sum(tvv * pv, -1) * inv_det
+            qv = jnp.cross(tvv, te1)
+            vv = jnp.sum(dx * qv, -1) * inv_det
+            tt = jnp.sum(te2 * qv, -1) * inv_det
+            hitm = (
+                vmask & (jnp.abs(det) > 1e-12)
+                & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
+                & (tt > tmin[:, None]) & (tt < t_b[:, None])
+                & (tt < tmax[:, None]) & ihas[:, None]
+            )
+            tm = jnp.where(hitm, tt, BIG)
+            kbest = jnp.argmin(tm, axis=1)
+            tnew = jnp.min(tm, axis=1)
+            better = tnew < t_b
+            onehot = jax.lax.broadcasted_iota(Int, tm.shape, 1) == kbest[:, None]
+            pick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=1)
+            t_b = jnp.where(better, tnew, t_b)
+            u_b = jnp.where(better, pick(uu), u_b)
+            v_b = jnp.where(better, pick(vv), v_b)
+            p_b = jnp.where(better, pick(pids), p_b)
+            i_b = jnp.where(better, inst, i_b)
+            found = found | better
+            if any_hit:
+                iact = iact & ihas & ~found
+            else:
+                iact = iact & ihas
+            return (t_b, u_b, v_b, p_b, i_b, found,
+                    jnp.where(ihas, emin, ig_t),
+                    jnp.where(ihas, kk, ig_c), iact)
+
+        def inner_cond(ist):
+            return jnp.any(ist[8])
+
+        iinit = (t_b, u_b, v_b, p_b, i_b, found,
+                 jnp.full((N,), -BIG, Float), jnp.full((N,), -1, Int), has)
+        (t_b, u_b, v_b, p_b, i_b, found, _it, _ic, _ia) = jax.lax.while_loop(
+            inner_cond, inner_body, iinit)
+
+        if any_hit:
+            active = active & has & ~found
+        else:
+            active = active & has
+        return (t_b, u_b, v_b, p_b, i_b, found,
+                jnp.where(has, se, sg_t), jnp.where(has, sid, sg_c), active)
+
+    def outer_cond(st):
+        return jnp.any(st[8])
+
+    init = (
+        jnp.minimum(jnp.full((N,), BIG, Float), tmax),
+        jnp.zeros((N,), Float), jnp.zeros((N,), Float),
+        jnp.zeros((N,), Int), jnp.zeros((N,), Int),
+        jnp.zeros((N,), bool),
+        jnp.full((N,), -BIG, Float), jnp.full((N,), -1, Int),
+        jnp.ones((N,), bool),
+    )
+    t_b, u_b, v_b, p_b, i_b, found, _gt, _gc, _a = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+    return dict(t=t_b, u=u_b, v=v_b, prim=p_b, inst=i_b, found=found)

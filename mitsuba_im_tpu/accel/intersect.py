@@ -285,6 +285,17 @@ def intersect_bvh(bvh: FlatBVH, geom: Geometry, o, d, tmin, tmax, any_hit=False)
     return st  # raw dict; callers merge with analytic prims
 
 
+def _dispatch_clusters(clusters, o, d, tmin, tmax, any_hit=False):
+    """Route to the two-level hierarchy or the legacy single-level marcher."""
+    from .hierarchy import Hierarchy, intersect_hierarchy
+
+    if isinstance(clusters, Hierarchy):
+        return intersect_hierarchy(clusters, o, d, tmin, tmax, any_hit=any_hit)
+    from .cluster import intersect_clusters
+
+    return intersect_clusters(clusters, o, d, tmin, tmax, any_hit=any_hit)
+
+
 def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
               clusters=None) -> Hit:
     """Closest-hit entry point: brute force for small soups; on big scenes
@@ -295,11 +306,8 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
 
     R = o.shape[0]
     if clusters is not None and _use_pallas():
-        from .cluster import intersect_clusters
-
         sg = jax.lax.stop_gradient
-        st = intersect_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax))
-        st = dict(st, prim=st["prim"])
+        st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax))
     else:
         st = intersect_bvh(bvh, geom, o, d, tmin, tmax)
     ti, tbest, tvalid = st["prim"], st["t"], st["found"]
@@ -488,10 +496,8 @@ def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
     """Any-hit (shadow ray) query -> bool per ray."""
     R = o.shape[0]
     if clusters is not None and _use_pallas() and geom.n_tris > BRUTE_FORCE_MAX:
-        from .cluster import intersect_clusters
-
         sg = jax.lax.stop_gradient
-        st = intersect_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
+        st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
                                 any_hit=True)
         blocked = st["found"]
         o_b, d_b = o[:, None, :], d[:, None, :]

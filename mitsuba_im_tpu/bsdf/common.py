@@ -232,7 +232,7 @@ def lane_params_to_v(p: LaneParams) -> LaneParams3:
 
 def resolve_v(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
               uv_u: jax.Array, uv_v: jax.Array,
-              u_sel: jax.Array | None = None) -> LaneParams3:
+              u_sel: jax.Array | None = None, duv=None) -> LaneParams3:
     """Component-SoA parameter resolve: per-column fused select chains
     (full tile density) instead of one wide (N, C) matrix lookup.  Same
     MASK/BLEND unwrap semantics as :func:`resolve`.
@@ -293,11 +293,11 @@ def resolve_v(table: BSDFTable, tex: TextureTable, bsdf_id: jax.Array,
         type=gc(table.type, bid),
         dist=gc(table.dist, bid),
         refl=eval_texture_v(tex, gc(table.refl_tex, bid), uv_u, uv_v,
-                            g3(table.refl, bid)),
+                            g3(table.refl, bid), duv),
         spec=eval_texture_v(tex, gc(table.spec_tex, bid), uv_u, uv_v,
-                            g3(table.spec, bid)),
+                            g3(table.spec, bid), duv),
         trans=eval_texture_v(tex, gc(table.trans_tex, bid), uv_u, uv_v,
-                             g3(table.trans, bid)),
+                             g3(table.trans, bid), duv),
         eta=g3(table.eta, bid),
         k=g3(table.k, bid),
         eta_s=gc(table.eta_s, bid),

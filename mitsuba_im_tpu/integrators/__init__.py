@@ -124,14 +124,18 @@ def _pssmlt(props: Properties, ctx=None, _name="pssmlt"):
 
 @register("integrator", "mlt")
 def _mlt(props: Properties, ctx=None):
-    """Path-space MLT mapped onto the primary-sample ensemble engine
-    (integrators/pssmlt.py docstring explains the TPU-motivated reframe);
-    perturbation-dominated exploration via a lower large-step rate."""
+    """Veach-style MLT with structured path mutations (lens / caustic /
+    multi-chain / bidirectional) over the replayable sample space —
+    integrators/mlt.py docstring maps each reference mutator
+    (src/libbidir/mut_*.h) onto its block-structured equivalent."""
     ip = _mc_props(props)
     ip["p_large"] = props.get_float("pLarge", 0.1)
     ip["n_chains"] = props.get_int("chains", 8192)
     ip["burn_in"] = props.get_int("burnIn", 64)
-    return _set(ctx, "pssmlt", ip)
+    ip["p_lens"] = props.get_float("pLens", 0.35)
+    ip["p_caustic"] = props.get_float("pCaustic", 0.2)
+    ip["p_mchain"] = props.get_float("pMultiChain", 0.15)
+    return _set(ctx, "mlt", ip)
 
 
 @register("integrator", "erpt")

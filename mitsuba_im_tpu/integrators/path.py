@@ -42,6 +42,9 @@ class PathConfig:
     strict_normals: bool = static_field(default=False)
     depth_budget: int = static_field(default=16)  # cap when max_depth == -1
     remat: bool = static_field(default=True)
+    # drop depth<=2 (directly visible emitters + single-bounce direct
+    # lighting): the MLT separateDirect split (mlt.cpp directSamples)
+    skip_direct: bool = static_field(default=False)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -52,7 +55,8 @@ def mi_weight(pdf_a, pdf_b):
 
 
 def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
-              cfg: PathConfig):
+              cfg: PathConfig, dddx: V3 | None = None,
+              dddy: V3 | None = None):
     """Trace a batch of primary rays to completion (component-SoA).
 
     Returns (radiance V3 of (N,) components, sampler) — the sampler is
@@ -70,13 +74,15 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
 
     # directly visible emitters / environment (depth-1 contributions)
     esc = ~it.valid
-    if not cfg.hide_emitters:
+    if not cfg.hide_emitters and not cfg.skip_direct:
         env = em.eval_environment_v(scene.emitters, d)
         li = li + v.where(esc, thr * env, v.zeros((n,)))
         eid0 = scene.emitter_at_id(it.shape)
         le0 = em.emitted_radiance_v(scene.emitters, eid0, it.ns, -d)
         li = li + v.where(it.valid, thr * le0, v.zeros((n,)))
 
+    # ray differentials -> MIP/aniso texture filtering at the primary hit
+    use_duv = dddx is not None and dddy is not None and scene.textures.has_mip
     state = dict(
         li=li, thr=thr, eta=jnp.ones((n,), Float), active=it.valid,
         scattered=jnp.zeros((n,), bool),
@@ -85,8 +91,14 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         shape=it.shape, wi_local=it.wi_local, d_world=d,
         sampler=sampler,
     )
+    if use_duv:
+        from ..render.raydiff import uv_differentials
 
-    def bounce(depth_idx, st):
+        duv0 = uv_differentials(scene.geom, hit, o, d, dddx, dddy)
+    else:
+        duv0 = None
+
+    def bounce(depth_idx, st, duv=None):
         """One NEE + BSDF-extension step at the current vertex."""
         s = st["sampler"]
         frame = (st["ss"], st["ts"], st["ns"])
@@ -94,20 +106,27 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         fake_it = _fake_it_v(st)
         if scene.bsdfs.unwrap_depth > 0:
             s, sel_blk = mrng.next_block4_v(s)
-            bparams = scene.bsdf_at_v(fake_it, u_sel=sel_blk[0])
+            bparams = scene.bsdf_at_v(fake_it, u_sel=sel_blk[0], duv=duv)
         else:
-            bparams = scene.bsdf_at_v(fake_it)
+            bparams = scene.bsdf_at_v(fake_it, duv=duv)
 
         # --- subsurface scattering (its.LoSub analog) ----------------------
         st_li0 = st["li"]
         if scene.subsurface is not None:
-            from ..subsurface import eval_lo
+            from ..subsurface import eval_lo, eval_lo_single
 
             ss_id = scene.subsurface_at(st["shape"], act)
             lo_sub = V3.from_array(eval_lo(
                 scene.subsurface, st["p"].to_array(),
                 jnp.abs(st["wi_local"].z), ss_id))
             st_li0 = st_li0 + v.where(act, st["thr"] * lo_sub, v.zeros((n,)))
+            if scene.subsurface.has_single:
+                s, ss_blk = mrng.next_block4_v(s)
+                lo_ss = eval_lo_single(
+                    scene.subsurface, scene, st["p"], st["ns"],
+                    st["d_world"], ss_id, ss_blk)
+                st_li0 = st_li0 + v.where(act, st["thr"] * lo_ss,
+                                          v.zeros((n,)))
 
         # --- next-event estimation (sampleEmitterDirect, path.cpp:176) ----
         s, nee_blk = mrng.next_block4_v(s)
@@ -124,7 +143,10 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         )
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_bsdf_nee))
         contrib = st["thr"] * ds.value * f_nee * safe_div(w_nee, ds.pdf)
-        st_li = st_li0 + v.where(can_nee & ~occ, contrib, v.zeros((n,)))
+        keep_nee = can_nee & ~occ
+        if cfg.skip_direct:
+            keep_nee = keep_nee & (depth_idx > 0)
+        st_li = st_li0 + v.where(keep_nee, contrib, v.zeros((n,)))
 
         # --- BSDF sampling (path.cpp:211) ---------------------------------
         s, bsdf_blk = mrng.next_block4_v(s)
@@ -157,8 +179,11 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         w_bsdf = mi_weight(bs.pdf, lum_pdf)
         hit_val = v.where(esc2, env_val, le2)
         hide = cfg.hide_emitters & ~scattered
+        keep_hit = act2 & ~hide
+        if cfg.skip_direct:
+            keep_hit = keep_hit & (depth_idx > 0)
         st_li = st_li + v.where(
-            act2 & ~hide, thr_new * hit_val * w_bsdf, v.zeros((n,))
+            keep_hit, thr_new * hit_val * w_bsdf, v.zeros((n,))
         )
 
         act3 = act2 & it2.valid
@@ -186,7 +211,16 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
     body = bounce
     if cfg.remat:
         body = jax.checkpoint(bounce, prevent_cse=False)
-    state = jax.lax.fori_loop(0, n_iters, body, state)
+    start = 0
+    if use_duv and n_iters > 0:
+        # peel the first bounce: only it consumes the pixel footprint, so
+        # the loop body compiles without the filtered texture path
+        first = lambda st: bounce(0, st, duv0)
+        if cfg.remat:
+            first = jax.checkpoint(first, prevent_cse=False)
+        state = first(state)
+        start = 1
+    state = jax.lax.fori_loop(start, n_iters, body, state)
     return state["li"], state["sampler"]
 
 
@@ -215,11 +249,14 @@ def _fake_it(st):
 
 
 def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
-            d: jax.Array, cfg: PathConfig):
+            d: jax.Array, cfg: PathConfig, dddx: jax.Array | None = None,
+            dddy: jax.Array | None = None):
     """(N, 3)-array wrapper around :func:`path_li_v`.
 
     The SamplerState and Sampler3 hash streams are bitwise identical, so
     existing callers (and checkpointed renders) see unchanged images.
+    ``dddx``/``dddy``: optional (N, 3) primary-ray direction differentials
+    (one-pixel film offsets) enabling MIP/aniso texture filtering.
     """
     s3 = mrng.Sampler3(
         pixel=sampler.pixel, sample=sampler.sample,
@@ -228,5 +265,9 @@ def path_li(scene: Scene, sampler: mrng.SamplerState, o: jax.Array,
         dim=sampler.dim, seed=sampler.seed, table=sampler.table,
         kind=sampler.kind, spp=sampler.spp,
     )
-    li, s3 = path_li_v(scene, s3, V3.from_array(o), V3.from_array(d), cfg)
+    li, s3 = path_li_v(
+        scene, s3, V3.from_array(o), V3.from_array(d), cfg,
+        dddx=None if dddx is None else V3.from_array(dddx),
+        dddy=None if dddy is None else V3.from_array(dddy),
+    )
     return li.to_array(), sampler.replace(dim=s3.dim)

@@ -63,6 +63,9 @@ class PSSMLTConfig:
     # Kelemen mutation sizes (pssmlt_sampler.cpp: s1=1/1024, s2=1/64)
     s1: float = static_field(default=1.0 / 1024.0)
     s2: float = static_field(default=1.0 / 64.0)
+    # MCMC targets indirect only; direct rendered by plain sampling
+    # (mlt.cpp/pssmlt.cpp separateDirect + directSamples)
+    separate_direct: bool = static_field(default=False)
 
 
 def _n_blocks(cfg: PSSMLTConfig) -> int:
@@ -73,7 +76,8 @@ def _n_blocks(cfg: PSSMLTConfig) -> int:
 
 def _path_cfg(cfg: PSSMLTConfig) -> PathConfig:
     return PathConfig(max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-                      depth_budget=cfg.max_depth)
+                      depth_budget=cfg.max_depth,
+                      skip_direct=cfg.separate_direct)
 
 
 def _eval(scene: Scene, table: jax.Array, cfg: PSSMLTConfig, width, height):
@@ -181,23 +185,37 @@ def pssmlt_run(scene: Scene, img: jax.Array, state, seed, step0, *, cfg,
     return carry[0], carry[1:]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def pssmlt_init(scene: Scene, seed, *, cfg, width, height):
-    """Bootstrap: seed chains by luminance-proportional resampling.
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "width", "height", "lum_rounds"))
+def pssmlt_init(scene: Scene, seed, *, cfg, width, height, lum_rounds=8):
+    """Bootstrap: luminance pre-pass + seed chains by resampling.
 
-    The analog of the reference's seed generation (``pssmlt_proc.cpp``
-    SeedWorkUnit / ``PathSampler::generateSeeds``): draw one uniform
-    candidate per chain, then systematically resample the ensemble
-    proportional to luminance so the initial states follow the stationary
-    distribution — removing MCMC startup bias.
+    The analog of the reference's two-stage setup (``pssmlt_proc.cpp``
+    luminanceSamples + SeedWorkUnit / ``PathSampler::generateSeeds``):
+    ``lum_rounds * n_chains`` independent paths estimate the image
+    brightness b (the MCMC normalization constant — by far the largest
+    error source on hard-visibility scenes if left to online tracking),
+    then the chain ensemble is systematically resampled proportional to
+    luminance from the last candidate round so the initial states follow
+    the stationary distribution — removing MCMC startup bias.
     """
     n_blocks = _n_blocks(cfg)
     n = cfg.n_chains
     chain = jnp.arange(n, dtype=U32)
+
+    def lum_round(i, acc):
+        t = _draw_table(chain, jnp.uint32(0xFFFF0000) + i.astype(U32), seed,
+                        n_blocks, stream=0)
+        _, _, I_r = _eval(scene, t, cfg, width, height)
+        return acc + jnp.sum(I_r)
+
+    b_extra = jax.lax.fori_loop(0, max(lum_rounds - 1, 0), lum_round,
+                                jnp.asarray(0.0, Float))
+
     table = _draw_table(chain, jnp.uint32(0xFFFFFFFF), seed, n_blocks, stream=0)
     pos, color, I = _eval(scene, table, cfg, width, height)
-    b_sum = jnp.sum(I)
-    b_cnt = jnp.asarray(float(n), Float)
+    b_sum = jnp.sum(I) + b_extra
+    b_cnt = jnp.asarray(float(n * max(lum_rounds, 1)), Float)
 
     # systematic resampling over the chain ensemble
     cdf = jnp.cumsum(I)

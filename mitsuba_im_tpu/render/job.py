@@ -44,23 +44,25 @@ def _integrator_fn(settings: RenderSettings):
         if name == "volpath":
             from ..integrators.volpath import volpath_li
 
-            return lambda scene, s, o, d: volpath_li(scene, s, o, d, cfg)
-        return lambda scene, s, o, d: path_li(scene, s, o, d, cfg)
+            return lambda scene, s, o, d, **kw: volpath_li(scene, s, o, d,
+                                                           cfg)
+        return lambda scene, s, o, d, **kw: path_li(scene, s, o, d, cfg,
+                                                    **kw)
     if name == "direct":
-        return lambda scene, s, o, d: direct_li(
+        return lambda scene, s, o, d, **kw: direct_li(
             scene, s, o, d,
             emitter_samples=ip.get("emitter_samples", 1),
             bsdf_samples=ip.get("bsdf_samples", 1),
             hide_emitters=ip.get("hide_emitters", False),
         )
     if name == "ao":
-        return lambda scene, s, o, d: ao_li(
+        return lambda scene, s, o, d, **kw: ao_li(
             scene, s, o, d,
             shading_samples=ip.get("shading_samples", 1),
             ray_length=ip.get("ray_length", -1.0),
         )
     if name == "field":
-        return lambda scene, s, o, d: field_li(scene, s, o, d, ip.get("field", "position"))
+        return lambda scene, s, o, d, **kw: field_li(scene, s, o, d, ip.get("field", "position"))
     if name == "motion":
         from ..integrators.simple import motion_li
 
@@ -68,7 +70,7 @@ def _integrator_fn(settings: RenderSettings):
         if prev is None and ip.get("sensor_animation") is not None:
             anim = ip["sensor_animation"]  # core.track.AnimatedTransform
             prev = anim.eval(-ip.get("time_delta", 1.0 / 24.0)).m
-        return lambda scene, s, o, d: motion_li(
+        return lambda scene, s, o, d, **kw: motion_li(
             scene, s, o, d, prev_to_world=prev,
             width=settings.width, height=settings.height)
     if name == "adaptive":
@@ -98,7 +100,15 @@ def _render_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
     uv = pos / jnp.asarray([width, height], Float)
 
     o, d, w_sensor = sample_ray(scene.sensor, uv, u_lens)
-    li, _ = li_fn(scene, sampler, o, d)
+    kw = {}
+    if scene.textures.has_mip:
+        # primary-ray differentials for MIP/aniso texture filtering
+        _, d_px, _ = sample_ray(
+            scene.sensor, uv + jnp.asarray([1.0 / width, 0.0], Float), u_lens)
+        _, d_py, _ = sample_ray(
+            scene.sensor, uv + jnp.asarray([0.0, 1.0 / height], Float), u_lens)
+        kw = dict(dddx=d_px - d, dddy=d_py - d)
+    li, _ = li_fn(scene, sampler, o, d, **kw)
     li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0) * w_sensor[..., None]
 
     film = Film(data=film_data, width=width, height=height, ftype=ftype, radius=radius)
@@ -115,6 +125,10 @@ def render(scene: Scene, settings: RenderSettings,
         from ..integrators.pssmlt import render_pssmlt
 
         return render_pssmlt(scene, settings, spp=spp, progress_cb=progress_cb)
+    if settings.integrator == "mlt":
+        from ..integrators.mlt import render_mlt
+
+        return render_mlt(scene, settings, spp=spp, progress_cb=progress_cb)
     if settings.integrator == "erpt":
         from ..integrators.erpt import render_erpt
 

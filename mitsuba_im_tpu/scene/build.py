@@ -168,9 +168,9 @@ class SceneBuilder:
         n_tris = geom.n_tris
         clusters = None
         if n_tris > BRUTE_FORCE_MAX:
-            from ..accel.cluster import build_clusters
+            from ..accel.hierarchy import build_hierarchy
 
-            clusters = build_clusters(
+            clusters = build_hierarchy(
                 np.asarray(geom.tri_p0)[:n_tris], np.asarray(geom.tri_e1)[:n_tris],
                 np.asarray(geom.tri_e2)[:n_tris],
             )

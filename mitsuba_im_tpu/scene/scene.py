@@ -169,15 +169,16 @@ class Scene:
         wi_local = v.to_local((ss, ts, ns), -d)
         return it.replace(ns=ns, ss=ss, ts_=ts, wi_local=wi_local)
 
-    def bsdf_at_v(self, it, u_sel=None):
-        """SoA Interaction3 -> LaneParams3."""
+    def bsdf_at_v(self, it, u_sel=None, duv=None):
+        """SoA Interaction3 -> LaneParams3.  ``duv`` (optional screen-space
+        UV derivatives) enables MIP/anisotropic texture filtering."""
         from ..core import v3 as v
         from ..bsdf.common import resolve_v
 
         sid = jnp.where(it.shape == INVALID, 0, it.shape)
         bid = v.gather_col(self.shape_bsdf, sid)
         return resolve_v(self.bsdfs, self.textures, bid, it.uv_u, it.uv_v,
-                         u_sel)
+                         u_sel, duv)
 
     def emitter_at_id(self, shape_id) -> jax.Array:
         from ..core import v3 as v

@@ -15,11 +15,15 @@ shape's triangles (host-side), their irradiance is one batched NEE
 wavefront (device), and shading adds Lo = Ft(wo)/pi * sum_p Rd(|x-x_p|)
 E_p A_p for lanes whose shape carries a subsurface record.
 
-``singlescatter`` (``src/subsurface/singlescatter.cpp``) is mapped onto
-the same diffusion machinery with the mean-free-path shortened to bias
-toward first-scatter transport — the full refracted-ray single-scatter
-integral is pointer-chasing over the boundary and is documented as a
-deviation.
+``singlescatter`` (``src/subsurface/singlescatter.cpp``, Holzschuch 2015)
+is a *real* refracted-ray estimator here (:func:`eval_lo_single`): the view
+ray refracts into the medium, a scatter distance is importance-sampled
+against extinction (normalized to the boundary-exit distance found with a
+wavefront ray cast), light is connected through the boundary with Jensen's
+corrected internal path length and Fresnel transmittances at both
+interfaces, and an occlusion ray guards the external segment.  The
+reference's recursive internal-reflection ladder is truncated at one
+internal segment (the dominant term); this is the documented deviation.
 """
 from __future__ import annotations
 
@@ -56,8 +60,6 @@ def _dipole(props: Properties, ctx=None):
 @register("subsurface", "singlescatter")
 def _singlescatter(props: Properties, ctx=None):
     rec = _rec(props, single=True)
-    # bias the profile toward first-scatter transport (see module docstring)
-    rec["sigma_s"] = rec["sigma_s"] * 1.5
     if ctx is not None:
         return ctx.add_subsurface(rec)
     return rec
@@ -129,12 +131,17 @@ class SubsurfaceTable:
     zv: jax.Array
     alpha_p: jax.Array
     eta: jax.Array  # (R,)
+    sigma_s: jax.Array  # (R, 3) raw scattering coefficient
+    sigma_t: jax.Array  # (R, 3) raw extinction
+    g: jax.Array  # (R,) HG anisotropy
+    single: jax.Array  # (R,) 1 = singlescatter record, 0 = dipole
     pts: jax.Array  # (P, 3) surface sample points
     irr: jax.Array  # (P, 3) irradiance at the points
     area: jax.Array  # (P,) area weight per point
     pt_rec: jax.Array  # (P,) subsurface record id owning the point
     n_points: int = static_field(default=0)
     chunk: int = static_field(default=256)
+    has_single: bool = static_field(default=False)
 
 
 def sample_surface_points(builder_tri: dict, shape_ids: list[int],
@@ -197,6 +204,8 @@ def build_subsurface(records: list[dict], builder, scene,
     rng = np.random.default_rng(11)
     all_pts, all_nrm, all_area, all_rec = [], [], [], []
     for rid, rec in enumerate(records):
+        if rec.get("single"):
+            continue  # singlescatter records use the refracted-ray estimator
         shape_ids = [sid for sid, ss in enumerate(builder.shape_subsurface)
                      if ss == rid]
         pts, nrm, area = sample_surface_points(
@@ -207,13 +216,20 @@ def build_subsurface(records: list[dict], builder, scene,
         all_nrm.append(nrm)
         all_area.append(np.full(len(pts), area / len(pts), np.float32))
         all_rec.append(np.full(len(pts), rid, np.int32))
-    if not all_pts:
+    if all_pts:
+        pts = np.concatenate(all_pts)
+        nrm = np.concatenate(all_nrm)
+        irr = np.asarray(compute_irradiance(scene, pts, nrm))
+        area = np.concatenate(all_area)
+        recs_arr = np.concatenate(all_rec)
+    elif any(r.get("single") for r in records):
+        pts = np.zeros((0, 3))
+        nrm = np.zeros((0, 3))
+        irr = np.zeros((0, 3), np.float32)
+        area = np.zeros(0, np.float32)
+        recs_arr = np.zeros(0, np.int32)
+    else:
         return None
-    pts = np.concatenate(all_pts)
-    nrm = np.concatenate(all_nrm)
-    irr = np.asarray(compute_irradiance(scene, pts, nrm))
-    area = np.concatenate(all_area)
-    recs_arr = np.concatenate(all_rec)
     # pad to a chunk multiple (the gather slices fixed-size chunks; padded
     # rows carry rec id -1 so the same-record mask drops them)
     C = 256
@@ -230,11 +246,19 @@ def build_subsurface(records: list[dict], builder, scene,
     return SubsurfaceTable(
         sigma_tr=f("sigma_tr"), zr=f("zr"), zv=f("zv"), alpha_p=f("alpha_p"),
         eta=jnp.asarray([c["eta"] for c in co], Float),
+        sigma_s=jnp.asarray(np.stack([r["sigma_s"] for r in records]), Float),
+        sigma_t=jnp.asarray(
+            np.stack([np.asarray(r["sigma_s"]) + np.asarray(r["sigma_a"])
+                      for r in records]), Float),
+        g=jnp.asarray([r["g"] for r in records], Float),
+        single=jnp.asarray([1 if r.get("single") else 0 for r in records],
+                           Int),
         pts=jnp.asarray(pts, Float), irr=jnp.asarray(irr, Float),
         area=jnp.asarray(area, Float),
         pt_rec=jnp.asarray(recs_arr, Int),
         n_points=len(pts),
         chunk=C,
+        has_single=any(bool(r.get("single")) for r in records),
     )
 
 
@@ -274,3 +298,88 @@ def eval_lo(table: SubsurfaceTable, x, wo_cos, rec_id):
     ft = _fresnel_t(eta, wo_cos)
     lo = mo * (ft / jnp.pi)[..., None]
     return jnp.where(active[..., None], lo, 0.0)
+
+
+def eval_lo_single(table: SubsurfaceTable, scene, p, ns, d_world, rec_id,
+                   blk):
+    """Refracted-ray single-scatter estimator (singlescatter.cpp LoSingle).
+
+    p, ns, d_world: V3 wavefront arrays (position, shading normal, incoming
+    ray direction pointing INTO the surface); rec_id: (N,) subsurface record
+    (INVALID = none); blk: 4 uniform randoms (distance + light sample).
+    Returns V3 outgoing radiance; one sample per lane per bounce.
+    """
+    from ..core import v3 as v
+    from ..emitter import table as em
+
+    N = p.x.shape[0]
+    R = table.sigma_tr.shape[0]
+    rid = jnp.clip(rec_id, 0, R - 1)
+    is_single = table.single[rid] > 0
+    active = (rec_id >= 0) & is_single
+    eta = table.eta[rid]
+    inv_eta = 1.0 / eta
+    sig_s = table.sigma_s[rid]  # (N, 3)
+    sig_t = table.sigma_t[rid]
+    g = table.g[rid]
+
+    # refract the view ray into the medium across the shading normal
+    cos_i = -(d_world.dot(ns))
+    active = active & (cos_i > 0)
+    sin2t = (1.0 - cos_i * cos_i) * inv_eta * inv_eta
+    tir = sin2t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+    wr = (d_world * inv_eta + ns * (cos_i * inv_eta - ct)).normalized()
+    ft_in = _fresnel_t(eta, cos_i)
+    active = active & ~tir
+
+    # boundary-exit distance along the refracted ray (wavefront cast)
+    o_in = p - ns * 1e-4
+    hx = scene.ray_intersect_v(o_in, wr)
+    t_exit = jnp.where(hx.t < 1e30, hx.t, 0.0)
+    active = active & (t_exit > 1e-6)
+
+    # distance importance-sampled against mean extinction, normalized to
+    # the inside segment [0, t_exit] (zero wasted samples)
+    sbar = jnp.maximum((sig_t[:, 0] + sig_t[:, 1] + sig_t[:, 2]) / 3.0, 1e-6)
+    fmax = 1.0 - jnp.exp(-sbar * t_exit)
+    u1 = jnp.clip(blk[0], 0.0, 1.0 - 1e-6)
+    s_dist = -jnp.log(1.0 - u1 * fmax) / sbar
+    s_dist = jnp.minimum(s_dist, t_exit * (1.0 - 1e-5))
+    pdf_s = sbar * jnp.exp(-sbar * s_dist) / jnp.maximum(fmax, 1e-12)
+    xs = o_in + wr * s_dist
+
+    # light connection at the internal point
+    ds = em.sample_direct_v(scene.emitters, scene.geom, xs,
+                            blk[1], blk[2], blk[3])
+    he = scene.ray_intersect_v(xs, ds.d)
+    ie = scene.interaction_v(xs, ds.d, he)
+    si = he.t
+    exit_ok = ie.valid & (si < ds.dist) & (ds.pdf > 0)
+    cos_e = jnp.abs(ie.ns.dot(ds.d))
+
+    # Jensen's corrected internal path length (dipole paper eq. 6): the
+    # true refracted internal segment is longer than the straight one
+    denom = jnp.sqrt(jnp.maximum(
+        1.0 - inv_eta * inv_eta * (1.0 - cos_e * cos_e), 1e-6))
+    si_p = si * cos_e / denom
+    ft_out = _fresnel_t(inv_eta, cos_e)
+
+    # occlusion of the external segment (exit point -> light)
+    x_e = xs + ds.d * si
+    occ = scene.occluded_v(x_e + ds.d * 1e-4, ds.d, EPSILON,
+                           jnp.maximum(ds.dist - si, 0.0)
+                           * (1.0 - SHADOW_EPSILON))
+
+    # Henyey-Greenstein phase between the internal segments
+    cos_ph = wr.dot(ds.d)
+    ph = (1.0 - g * g) / jnp.maximum(
+        4.0 * jnp.pi * (1.0 + g * g - 2.0 * g * cos_ph) ** 1.5, 1e-12)
+
+    tr = jnp.exp(-(s_dist[:, None] + si_p[:, None]) * sig_t)  # (N, 3)
+    scale = ft_in * ft_out * ph / (jnp.maximum(pdf_s, 1e-20)
+                                   * jnp.maximum(ds.pdf, 1e-20))
+    w = v.V3.from_array(sig_s * tr) * scale
+    lo = ds.value * w
+    ok = active & exit_ok & ~occ
+    return v.where(ok, lo, v.zeros((N,)))

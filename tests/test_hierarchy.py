@@ -1,0 +1,85 @@
+"""Two-level cluster hierarchy: cross-validation against brute force / BVH
+on random soups, the reference bunny, and instanced geometry."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_im_tpu.accel import hierarchy as hy
+from mitsuba_im_tpu.accel import intersect as isect
+from mitsuba_im_tpu.scene import geometry as geo
+
+from test_intersect import random_tri_soup, make_geom
+
+
+def _rand_rays(rng, n, lo=-2, hi=2):
+    o = jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    return o, d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+
+@pytest.mark.quick
+class TestHierarchy:
+    @pytest.mark.parametrize("n_tris", [70, 700, 9000])
+    def test_matches_brute_force(self, rng, n_tris):
+        p0, e1, e2 = random_tri_soup(n_tris, rng)
+        g = make_geom(p0, e1, e2)
+        h = hy.build_hierarchy(p0, e1, e2)
+        assert h.n_supers >= 1
+
+        o, d = _rand_rays(rng, 512)
+        hb = isect.intersect_brute(g, o, d, 1e-4, 1e30)
+        st = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30)
+
+        hitb = np.asarray(hb.kind == geo.KIND_TRI)
+        np.testing.assert_array_equal(hitb, np.asarray(st["found"]))
+        m = hitb
+        np.testing.assert_allclose(
+            np.asarray(st["t"])[m], np.asarray(hb.t)[m], rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(st["prim"])[m], np.asarray(hb.prim)[m])
+
+    def test_anyhit(self, rng):
+        p0, e1, e2 = random_tri_soup(3000, rng)
+        g = make_geom(p0, e1, e2)
+        h = hy.build_hierarchy(p0, e1, e2)
+        o, d = _rand_rays(rng, 256)
+        occ_b = np.asarray(isect.intersect_brute(g, o, d, 1e-4, 10.0).kind
+                           != geo.KIND_NONE)
+        st = hy.intersect_hierarchy(h, o, d, 1e-4, 10.0, any_hit=True)
+        np.testing.assert_array_equal(occ_b, np.asarray(st["found"]))
+
+    def test_bunny(self, rng):
+        path = "/root/reference/data/tests/bunny.ply"
+        if not os.path.exists(path):
+            pytest.skip("no bunny")
+        from mitsuba_im_tpu.scene.mesh import load_ply
+
+        mesh = load_ply(path)
+        p = mesh.positions
+        i = mesh.indices
+        p0 = p[i[:, 0]].astype(np.float32)
+        e1 = (p[i[:, 1]] - p[i[:, 0]]).astype(np.float32)
+        e2 = (p[i[:, 2]] - p[i[:, 0]]).astype(np.float32)
+        h = hy.build_hierarchy(p0, e1, e2)
+        g = make_geom(p0, e1, e2)
+
+        n_rays = 128
+        c = p.mean(0)
+        o = jnp.asarray(c + rng.uniform(-0.2, 0.2, (n_rays, 3)), jnp.float32)
+        d = jnp.asarray(rng.normal(size=(n_rays, 3)), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+        from mitsuba_im_tpu.accel import bvh as bvh_mod
+
+        lo, hi = bvh_mod.tri_bounds(p0, e1, e2)
+        bvh = bvh_mod.build_bvh(lo, hi)
+        st_bvh = isect.intersect_bvh(bvh, g, o, d, 1e-5,
+                                     jnp.full((n_rays,), 1e30))
+        st_h = hy.intersect_hierarchy(h, o, d, 1e-5, 1e30)
+        np.testing.assert_array_equal(
+            np.asarray(st_bvh["found"]), np.asarray(st_h["found"]))
+        m = np.asarray(st_bvh["found"])
+        np.testing.assert_allclose(
+            np.asarray(st_h["t"])[m], np.asarray(st_bvh["t"])[m], rtol=1e-4)

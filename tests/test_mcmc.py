@@ -40,13 +40,126 @@ class TestPSSMLT:
         rel = np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
         assert np.all(rel / ref.mean(axis=(0, 1)) < 0.20)
 
-    def test_mlt_alias_dispatches(self):
+    def test_mlt_registers_own_engine(self):
         from mitsuba_im_tpu.core.registry import create
         from mitsuba_im_tpu.core.properties import Properties
 
         out = create("integrator", Properties("mlt"))
-        assert out["name"] == "pssmlt"
+        assert out["name"] == "mlt"
         assert out["p_large"] == pytest.approx(0.1)
+        assert out["p_lens"] == pytest.approx(0.35)
+
+
+class TestMLT:
+    def test_matches_path_tracer(self, cornell_ref):
+        from mitsuba_im_tpu.render.job import render
+
+        scene, settings, ref = cornell_ref
+        settings.integrator = "mlt"
+        settings.integrator_props = {"max_depth": 4, "n_chains": 4096,
+                                     "burn_in": 16}
+        img = render(scene, settings, spp=512)
+        assert abs(img.mean() - ref.mean()) / ref.mean() < 0.10
+        rel = np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
+        assert np.all(rel / ref.mean(axis=(0, 1)) < 0.20)
+
+    def test_structured_mutations_cover_all_branches(self):
+        """Every mutator in the mixture produces a valid, in-range table
+        and leaves the pinned blocks untouched."""
+        import jax.numpy as jnp
+        from mitsuba_im_tpu.integrators.mlt import MLTConfig, mlt_step_tables
+
+        cfg = MLTConfig(max_depth=4, n_chains=64)
+        n_blocks = 1 + 3 * 3
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.uniform(size=(64, n_blocks, 4)), jnp.float32)
+        chain = jnp.arange(64, dtype=jnp.uint32)
+        # force each mutation type via the selection uniform
+        for sel, checker in [
+            (0.05, None),                      # large: anything goes
+            (0.2, "lens"), (0.55, "caustic"), (0.72, "mchain"),
+            (0.95, "small"),
+        ]:
+            u_aux = jnp.asarray(
+                np.column_stack([np.full(64, sel), rng.uniform(size=(64, 3))]),
+                jnp.float32)
+            prop, is_large = mlt_step_tables(table, u_aux, cfg, chain,
+                                             jnp.uint32(3), jnp.uint32(9))
+            p = np.asarray(prop)
+            assert np.all((p >= 0) & (p < 1))
+            t = np.asarray(table)
+            if checker == "lens":
+                # image block moved, every bounce block pinned
+                assert not np.allclose(p[:, 0, 0:2], t[:, 0, 0:2])
+                np.testing.assert_allclose(p[:, 1:], t[:, 1:])
+            elif checker == "caustic":
+                # prefix pinned, last bounce perturbed
+                np.testing.assert_allclose(p[:, :7], t[:, :7])
+                assert not np.allclose(p[:, 7:], t[:, 7:])
+            elif checker == "small":
+                assert not np.allclose(p, t)
+
+    def test_caustic_scene_beats_path_tracer(self):
+        """mut_caustic capability check: glass-sphere caustic, equal
+        mutation budget — MLT resolves the caustic with lower error."""
+        import textwrap, tempfile
+        from mitsuba_im_tpu.render.job import render
+        from mitsuba_im_tpu.scene.xml import load_scene
+
+        xml = textwrap.dedent("""\
+        <scene version="0.6.0">
+            <integrator type="path"><integer name="maxDepth" value="6"/></integrator>
+            <sensor type="perspective">
+                <float name="fov" value="45"/>
+                <transform name="toWorld">
+                    <lookat origin="0, 1.2, 2.5" target="0, 0.2, 0" up="0, 1, 0"/>
+                </transform>
+                <film type="hdrfilm">
+                    <integer name="width" value="32"/>
+                    <integer name="height" value="32"/>
+                </film>
+            </sensor>
+            <shape type="rectangle">
+                <transform name="toWorld"><rotate x="1" angle="-90"/><scale value="4"/></transform>
+                <bsdf type="diffuse"><rgb name="reflectance" value="0.7 0.7 0.7"/></bsdf>
+            </shape>
+            <shape type="sphere">
+                <float name="radius" value="0.35"/>
+                <point name="center" x="0" y="0.5" z="0"/>
+                <bsdf type="dielectric"/>
+            </shape>
+            <shape type="sphere">
+                <float name="radius" value="0.03"/>
+                <point name="center" x="0" y="1.8" z="0"/>
+                <emitter type="area"><rgb name="radiance" value="2000 2000 2000"/></emitter>
+            </shape>
+        </scene>
+        """)
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "caustic.xml")
+            open(path, "w").write(xml)
+            scene, settings = load_scene(path)
+
+        settings.integrator = "path"
+        ref = render(scene, settings, spp=768)
+
+        pt = render(scene, settings, spp=160)
+        settings.integrator = "mlt"
+        settings.integrator_props = {"max_depth": 6, "n_chains": 1024,
+                                     "burn_in": 32}
+        mlt = render(scene, settings, spp=160)
+
+        # caustic region: the brightest floor pixels of the reference
+        # (the focused spot under the glass sphere)
+        lum = ref.mean(-1)
+        floor = lum[16:, :]
+        thresh = np.quantile(floor, 0.92)
+        mask = np.zeros_like(lum, bool)
+        mask[16:, :] = floor >= thresh
+        err = lambda img: float(np.abs(img.mean(-1)[mask] - lum[mask]).mean())
+        assert err(mlt) < err(pt)
+        # and the global mean stays calibrated
+        assert abs(mlt.mean() - ref.mean()) / ref.mean() < 0.15
 
 
 class TestERPT:
