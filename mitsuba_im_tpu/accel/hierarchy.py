@@ -183,7 +183,8 @@ def _nearest_super(h: Hierarchy, o, inv_d, tmin, t_best, gate_t, gate_c):
     return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
 
-CHUNK_RAYS = 32768  # rays per while-loop cohort (bounds straggler cost)
+CHUNK_RAYS = 32768  # rays per compaction slice (bounds gather transients)
+K_INNER = 16        # traversal steps per slice visit (amortizes compaction)
 
 
 def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
@@ -192,32 +193,239 @@ def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
     o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
     of flat (N,) arrays; t is the world-space ray parameter.
 
-    Rays run in cohorts of ``CHUNK_RAYS``: the marching while-loops run in
-    lockstep over a cohort, so a straggler lane only stalls its own cohort
-    instead of the full wavefront (and the (cohort, SUP, 9) gather
-    transients stay bounded).
+    **Compaction driver**: lockstep marching wastes gather bandwidth on
+    finished lanes (measured ~30x on incoherent 1M-triangle loads — the
+    while-loop runs to the straggler's step count while every lane keeps
+    paying the (lane, LEAF, 9) block gather).  Instead, traversal is a
+    resumable one-step state machine; each driver round stably compacts
+    still-active rays to the front, takes the first ``CHUNK_RAYS`` of
+    them, and advances only those by ``K_INNER`` steps.  Total gather
+    traffic approaches the sum of per-ray work rather than
+    ``N x max_steps`` — the TPU answer to per-lane traversal divergence.
     """
     N = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (N,))
-    if N > CHUNK_RAYS:
-        pad = (-N) % CHUNK_RAYS
-        K = (N + pad) // CHUNK_RAYS
-        rs = lambda a: jnp.concatenate(
-            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
-        ).reshape((K, CHUNK_RAYS) + a.shape[1:]) if pad else \
-            a.reshape((K, CHUNK_RAYS) + a.shape[1:])
-        d_pad = jnp.concatenate(
-            [d, jnp.ones((pad, 3), d.dtype)]) if pad else d
-        tmax_pad = jnp.concatenate(
-            [tmax, jnp.full((pad,), -1.0, Float)]) if pad else tmax
-        res = jax.lax.map(
-            lambda args: _intersect_chunk(h, *args, any_hit=any_hit),
-            (rs(o), d_pad.reshape(K, CHUNK_RAYS, 3),
-             rs(tmin), tmax_pad.reshape(K, CHUNK_RAYS)),
-        )
-        return {k: val.reshape(-1)[:N] for k, val in res.items()}
-    return _intersect_chunk(h, o, d, tmin, tmax, any_hit=any_hit)
+    return _intersect_compact(h, o, d, tmin, tmax, any_hit=any_hit)
+
+
+def _make_state(h, o, d, tmin, tmax):
+    N = o.shape[0]
+    d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv_d = 1.0 / d_safe
+    # root-AABB prepass: rays that miss the whole hierarchy never enter the
+    # marching machinery (each would cost a full slice step otherwise)
+    root_lo = jnp.min(h.sup_lo, axis=0)
+    root_hi = jnp.max(h.sup_hi, axis=0)
+    t0 = (root_lo[None] - o) * inv_d
+    t1 = (root_hi[None] - o) * inv_d
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax)
+    hits_root = tn <= tf
+    return dict(
+        o=o, d=d, inv_d=inv_d, tmin=tmin,
+        idx=jnp.arange(N, dtype=Int),
+        t=jnp.minimum(jnp.full((N,), BIG, Float), tmax),
+        u=jnp.zeros((N,), Float), v=jnp.zeros((N,), Float),
+        prim=jnp.zeros((N,), Int), inst=jnp.zeros((N,), Int),
+        found=jnp.zeros((N,), bool),
+        sg_t=jnp.full((N,), -BIG, Float), sg_c=jnp.full((N,), -1, Int),
+        sidc=jnp.zeros((N,), Int),
+        ig_t=jnp.full((N,), -BIG, Float), ig_c=jnp.full((N,), -1, Int),
+        has_super=jnp.zeros((N,), bool),
+        active=hits_root,
+    )
+
+
+def _compute_centry(h, sidc, ol, invl, tmin, t_b):
+    """Child-cluster entry distances for each lane's current super."""
+    clo = h.ch_lo[sidc]
+    chi = h.ch_hi[sidc]
+    t0 = (clo - ol[:, None, :]) * invl[:, None, :]
+    t1 = (chi - ol[:, None, :]) * invl[:, None, :]
+    ctn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
+    ctf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_b[:, None])
+    return jnp.where(ctn <= ctf, ctn, BIG)
+
+
+def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
+    """Advance every lane of a state slice by one traversal step.
+
+    ``centry_in``: (M, SUP) cached child entries, valid for lanes that kept
+    their super since the cache was filled; ``fresh=True`` (round entry)
+    recomputes it for every lane, otherwise only super-switch lanes do —
+    the cache lives only across one slice visit, NOT in the compaction
+    state (carrying it through the permutes dominated the round cost).
+    """
+    M = st["o"].shape[0]
+    o, d, inv_d, tmin = st["o"], st["d"], st["inv_d"], st["tmin"]
+    instanced = h.inst_inv.shape[0] > 1
+    sup_iota = jax.lax.broadcasted_iota(Int, (M, SUP), 1)
+
+    active = st["active"]
+    t_b = st["t"]
+    need = active & ~st["has_super"]
+
+    # --- super advance for lanes without a current super (skipped entirely
+    # on steps where every lane is mid-super: the S-sweep costs ~1 ms) -----
+    def do_sweep(_):
+        return _nearest_super(h, o, inv_d, tmin, t_b, st["sg_t"], st["sg_c"])
+
+    se, sid = jax.lax.cond(
+        jnp.any(need), do_sweep,
+        lambda _: (jnp.full_like(t_b, BIG), jnp.zeros_like(st["sg_c"])),
+        None)
+    got = need & (se < BIG)
+    active = active & (~need | got)
+    sg_t = jnp.where(got, se, st["sg_t"])
+    sg_c = jnp.where(got, sid, st["sg_c"])
+    sidc = jnp.where(got, sid, st["sidc"])
+
+    # instance-local ray (t-preserving: direction not renormalized)
+    if instanced:
+        inst = h.sup_inst[sidc]
+        Mx = h.inst_inv[inst]
+        ol = jnp.einsum("nij,nj->ni", Mx[:, :, :3], o) + Mx[:, :, 3]
+        dl = jnp.einsum("nij,nj->ni", Mx[:, :, :3], d)
+        dl_safe = jnp.where(jnp.abs(dl) < 1e-20,
+                            jnp.where(dl < 0, -1e-20, 1e-20), dl)
+        invl = 1.0 / dl_safe
+    else:
+        inst = jnp.zeros((M,), Int)
+        ol, dl, invl = o, d, inv_d
+
+    if fresh:
+        centry = _compute_centry(h, sidc, ol, invl, tmin, t_b)
+    else:
+        centry = jax.lax.cond(
+            jnp.any(got),
+            lambda c: jnp.where(
+                got[:, None],
+                _compute_centry(h, sidc, ol, invl, tmin, t_b), c),
+            lambda c: c, centry_in)
+    ig_t = jnp.where(got, -BIG, st["ig_t"])
+    ig_c = jnp.where(got, -1, st["ig_c"])
+    has_super = (st["has_super"] | got) & active
+
+    # --- one child-cluster test ------------------------------------------
+    gated = (
+        (centry > ig_t[:, None])
+        | ((centry == ig_t[:, None]) & (sup_iota > ig_c[:, None]))
+    )
+    e = jnp.where(gated & (centry <= t_b[:, None]), centry, BIG)
+    emin = jnp.min(e, axis=1)
+    kk = jnp.argmax(e == emin[:, None], axis=1)
+    ihas = (emin < BIG) & has_super
+    cid = sidc * SUP + jnp.where(ihas, kk, 0)
+
+    blk = h.tris[cid]
+    vmask = h.valid[cid] > 0
+    pids = h.prim[cid]
+    ox = ol[:, None, :]
+    dx = dl[:, None, :]
+    tp0 = blk[..., 0:3]
+    te1 = blk[..., 3:6]
+    te2 = blk[..., 6:9]
+    pv = jnp.cross(dx, te2)
+    det = jnp.sum(te1 * pv, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvv = ox - tp0
+    uu = jnp.sum(tvv * pv, -1) * inv_det
+    qv = jnp.cross(tvv, te1)
+    vv = jnp.sum(dx * qv, -1) * inv_det
+    tt = jnp.sum(te2 * qv, -1) * inv_det
+    hitm = (
+        vmask & (jnp.abs(det) > 1e-12)
+        & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
+        & (tt > tmin[:, None]) & (tt < t_b[:, None]) & ihas[:, None]
+    )
+    tm = jnp.where(hitm, tt, BIG)
+    kbest = jnp.argmin(tm, axis=1)
+    tnew = jnp.min(tm, axis=1)
+    better = tnew < t_b
+    kb = kbest[:, None]
+    pick = lambda a: jnp.take_along_axis(a, kb, axis=1)[:, 0]
+    t_b = jnp.where(better, tnew, t_b)
+    u_b = jnp.where(better, pick(uu), st["u"])
+    v_b = jnp.where(better, pick(vv), st["v"])
+    p_b = jnp.where(better, pick(pids), st["prim"])
+    i_b = jnp.where(better, inst, st["inst"])
+    found = st["found"] | better
+
+    ig_t = jnp.where(ihas, emin, ig_t)
+    ig_c = jnp.where(ihas, kk, ig_c)
+    has_super = has_super & ihas
+    if any_hit:
+        active = active & ~found
+
+    return dict(
+        o=o, d=d, inv_d=inv_d, tmin=tmin, idx=st["idx"],
+        t=t_b, u=u_b, v=v_b, prim=p_b, inst=i_b, found=found,
+        sg_t=sg_t, sg_c=sg_c, sidc=sidc,
+        ig_t=ig_t, ig_c=ig_c, has_super=has_super, active=active,
+    ), centry
+
+
+_F_KEYS = ("tmin", "t", "u", "v", "sg_t", "ig_t")
+_I_KEYS = ("idx", "prim", "inst", "sg_c", "sidc", "ig_c")
+_B_KEYS = ("found", "has_super", "active")
+
+
+def _permute_state(state, perm):
+    """Row-permute the whole state via two packed (N, F) gathers."""
+    fmat = jnp.concatenate(
+        [state["o"], state["d"], state["inv_d"]]
+        + [state[k][:, None] for k in _F_KEYS], axis=1)
+    imat = jnp.stack(
+        [state[k] for k in _I_KEYS]
+        + [state[k].astype(Int) for k in _B_KEYS], axis=1)
+    fmat = fmat[perm]
+    imat = imat[perm]
+    out = dict(
+        o=fmat[:, 0:3], d=fmat[:, 3:6], inv_d=fmat[:, 6:9])
+    for j, k in enumerate(_F_KEYS):
+        out[k] = fmat[:, 9 + j]
+    for j, k in enumerate(_I_KEYS):
+        out[k] = imat[:, j]
+    for j, k in enumerate(_B_KEYS):
+        out[k] = imat[:, len(_I_KEYS) + j] > 0
+    return out
+
+
+def _intersect_compact(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
+    N = o.shape[0]
+    state = _make_state(h, o, d, tmin, tmax)
+    M = min(CHUNK_RAYS, N)
+
+    def cond(state):
+        return jnp.any(state["active"])
+
+    def body(state):
+        # stable compaction: active rays to the front.  The permute runs on
+        # TWO packed matrices — permuting the ~20 state arrays separately
+        # is 1-D gathers of 4-byte rows, which measured ~3 ms EACH on TPU;
+        # two wide row-gathers move the same bytes in ~1 ms total.
+        perm = jnp.argsort(~state["active"], stable=True)
+        state = _permute_state(state, perm)
+        front = jax.tree.map(lambda a: a[:M], state)
+        # round entry: fill the slice-local child-entry cache once
+        front, centry = _one_step(h, front, None, any_hit, fresh=True)
+        front, _ = jax.lax.fori_loop(
+            0, K_INNER - 1,
+            lambda i, c: _one_step(h, c[0], c[1], any_hit, fresh=False),
+            (front, centry))
+        return jax.tree.map(
+            lambda a, f: jax.lax.dynamic_update_slice_in_dim(a, f, 0, 0),
+            state, front)
+
+    state = jax.lax.while_loop(cond, body, state)
+    # restore original ray order
+    inv = jnp.argsort(state["idx"])
+    g = lambda a: a[inv]
+    return dict(t=g(state["t"]), u=g(state["u"]), v=g(state["v"]),
+                prim=g(state["prim"]), inst=g(state["inst"]),
+                found=g(state["found"]))
 
 
 def _intersect_chunk(h: Hierarchy, o, d, tmin, tmax, any_hit=False):

@@ -145,6 +145,15 @@ def main(argv=None) -> int:
             from ..parallel.mesh import make_mesh, render_sharded
 
             img = render_sharded(make_mesh(), scene, settings)
+        elif getattr(settings, "tiled", False) and out.endswith(".exr"):
+            from ..film.tiled import render_tiled
+
+            render_tiled(scene, settings, out, spp=settings.spp,
+                         metadata={"renderer": "mitsuba_im_tpu"})
+            wall = time.time() - t1
+            if not args.quiet:
+                print(f"[done] {out}  {wall:.2f}s (tiled out-of-core)")
+            continue
         else:
             film = render_film(scene, settings, spp=settings.spp - start_spp,
                                film=film, sample_offset=start_spp,

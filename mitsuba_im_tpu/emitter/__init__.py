@@ -120,18 +120,35 @@ def _sun_dir(props: Properties) -> np.ndarray:
 
 
 def _sky_record(props: Properties) -> dict:
-    """Preetham sky baked into a lat-long envmap (sky.cpp architecture:
-    precompute at ``resolution``, importance-sample as a bitmap)."""
-    from .sunsky import preetham_sky_pixels
+    """Analytic sky baked into a lat-long envmap (sky.cpp architecture:
+    precompute at ``resolution``, importance-sample as a bitmap).  Default
+    model is Hosek-Wilkie 2012 (the reference's ``skymodel.cpp``);
+    ``skyModel="preetham"`` selects the older Preetham 1999 fit."""
+    model = props.get_string("skyModel", "hosek")
+    if model == "preetham":
+        from .sunsky import preetham_sky_pixels
 
-    pixels = preetham_sky_pixels(
-        resolution=props.get_int("resolution", 512),
-        sun_dir=_sun_dir(props),
-        turbidity=props.get_float("turbidity", 3.0),
-        stretch=props.get_float("stretch", 1.0),
-        scale=props.get_float("scale", 1.0),
-        extend=props.get_bool("extend", True),
-    )
+        pixels = preetham_sky_pixels(
+            resolution=props.get_int("resolution", 512),
+            sun_dir=_sun_dir(props),
+            turbidity=props.get_float("turbidity", 3.0),
+            stretch=props.get_float("stretch", 1.0),
+            scale=props.get_float("scale", 1.0),
+            extend=props.get_bool("extend", True),
+        )
+    else:
+        from .hosek import hosek_sky_pixels
+
+        albedo = props.get_spectrum("groundAlbedo", [0.15, 0.15, 0.15])
+        pixels = hosek_sky_pixels(
+            resolution=props.get_int("resolution", 512),
+            sun_dir=_sun_dir(props),
+            turbidity=props.get_float("turbidity", 3.0),
+            albedo=float(np.mean(albedo)),
+            stretch=props.get_float("stretch", 1.0),
+            scale=props.get_float("scale", 1.0),
+            extend=props.get_bool("extend", True),
+        )
     to_world = props.get_transform("toWorld", Transform())
     return dict(
         type=et.EM_ENVMAP,

@@ -53,7 +53,13 @@ def _mfilm(props: Properties, ctx=None):
 
 @register("film", "tiledhdrfilm")
 def _tiledhdrfilm(props: Properties, ctx=None):
-    return _apply_film(props, ctx, "openexr")
+    """Out-of-core film: bands accumulate into a disk memmap and develop
+    streams scanlines into the EXR writer (films/tiledhdrfilm.cpp:101
+    capability; see mitsuba_im_tpu.film.tiled)."""
+    out = _apply_film(props, ctx, "openexr")
+    if ctx is not None:
+        ctx.settings.tiled = True
+    return out
 
 
 def _rfilter(name, ftype):

@@ -28,12 +28,16 @@ Strategy taxonomy (path with k = s + t - 1 edges <= maxDepth):
                     light-image, ``bdpt_wr.cpp``)
   - s>=2, t>=2    : inner connection with geometry term + visibility
 
+Light subpaths apply Veach's shading-normal asymmetry correction
+(:func:`_adjoint_correction`, ``include/mitsuba/bidir/vertex.h:272-408``)
+both along the walk and at connection vertices.
+
 Known deviations (documented, test-visible): no participating media in the
-bidir machinery (the volpath integrator covers media unidirectionally), no
-shading-normal asymmetry correction on light subpaths, and light subpaths
-do not start from environment/directional emitters — those are covered by
-the s<=1 strategies with matching pdf bookkeeping (pdf_light_origin = 0),
-which keeps the estimator unbiased.
+bidir machinery (the volpath integrator covers media unidirectionally), and
+light subpaths do not start from environment/directional emitters — those
+are covered by the s<=1 strategies with matching pdf bookkeeping
+(pdf_light_origin = 0), which keeps the estimator unbiased (env-heavy
+scenes shift variance onto the s<=1 strategies rather than bias).
 """
 from __future__ import annotations
 
@@ -74,6 +78,12 @@ def _to_area(pdf_sa, from_p, to_p, to_n):
     return pdf_sa * jnp.abs(m.dot(to_n, d)) / jnp.maximum(d2, 1e-20)
 
 
+def _from_local(v, w_local):
+    """Vertex-frame local direction -> world."""
+    return (v["ss"] * w_local[..., 0:1] + v["ts"] * w_local[..., 1:2]
+            + v["ns"] * w_local[..., 2:3])
+
+
 def _local(v, d_world):
     return m.Frame.to_local((v["ss"], v["ts"], v["ns"]), d_world)
 
@@ -87,8 +97,19 @@ def _dir(a, b):
 # Subpath tracing
 # ---------------------------------------------------------------------------
 
+def _adjoint_correction(ns, ng, wi_world, wo_world):
+    """Veach's shading-normal asymmetry factor for importance transport
+    (light subpaths): |wi.ns||wo.ng| / (|wi.ng||wo.ns|), clamped
+    (``include/mitsuba/bidir/vertex.h:272-408`` applies the same factor
+    when ``EImportance`` transport crosses a shading-normal frame)."""
+    num = jnp.abs(m.dot(wi_world, ns)) * jnp.abs(m.dot(wo_world, ng))
+    den = jnp.abs(m.dot(wi_world, ng)) * jnp.abs(m.dot(wo_world, ns))
+    return jnp.clip(jnp.where(den > 1e-8, num / jnp.maximum(den, 1e-8), 1.0),
+                    0.0, 10.0)
+
+
 def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
-                start_p, start_n):
+                start_p, start_n, adjoint=False):
     """Extend a subpath by up to ``n_steps`` surface vertices.
 
     Returns (vertex list, sampler, escape record).  Each vertex dict holds
@@ -155,6 +176,10 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
                 valid, prev_rev, verts[i - 1]["pdf_rev"])
 
         beta = beta * bs.weight
+        if adjoint:
+            # importance transport: shading-normal asymmetry correction
+            corr = _adjoint_correction(it.ns, it.ng, -cur_d, wo_world)
+            beta = beta * jnp.where(valid, corr, 1.0)[..., None]
         pdf_dir = jnp.where(bs.delta, 0.0, bs.pdf)
         pdf_delta = bs.delta
         alive = valid & (jnp.sum(jnp.abs(bs.weight), -1) > 0)
@@ -381,7 +406,7 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     beta_l = jnp.where(lv0["valid"][..., None], beta_l, 0.0)
     light_tail, s, _lesc, l0_rev = random_walk(
         scene, s, lv0["p"], lv0["d"], beta_l, lv0["pdf_dir"],
-        max(max_depth - 1, 0), lv0["p"], lv0["ns"])
+        max(max_depth - 1, 0), lv0["p"], lv0["ns"], adjoint=True)
     lv0 = dict(lv0)
     lv0["pdf_rev"] = l0_rev
     light_vs = [lv0] + light_tail
@@ -479,6 +504,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         d_vc = _dir(v["p"], cam_p)
         wo_local = _local(v, d_vc)
         f = bsdf_eval(v["bp"], v["wi_local"], wo_local)
+        wi_w = _from_local(v, v["wi_local"])
+        f = f * _adjoint_correction(v["ns"], v["ng"], wi_w, d_vc)[..., None]
         occ = scene.occluded(v["p"], d_vc, EPSILON,
                              dist * (1.0 - SHADOW_EPSILON))
         ok = v["valid"] & vis & ~occ
@@ -509,6 +536,9 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             wo_q = _local(vq, -d_pq)
             f_p = bsdf_eval(vp["bp"], vp["wi_local"], wo_p)
             f_q = bsdf_eval(vq["bp"], vq["wi_local"], wo_q)
+            wi_q = _from_local(vq, vq["wi_local"])
+            f_q = f_q * _adjoint_correction(vq["ns"], vq["ng"], wi_q,
+                                            -d_pq)[..., None]
             ok = ok0 & ~occ
             contrib = vp["beta"] * vq["beta"] * f_p * f_q / \
                 jnp.maximum(dist * dist, 1e-20)[..., None]

@@ -35,6 +35,19 @@ transition-density bookkeeping the reference's mutators carry
 (``Mutator::Q``) cancels by construction.  The mutation *mixture* is chosen
 per chain per step; an ensemble of thousands of chains runs in lockstep,
 each step being one fused wavefront re-trace.
+
+Documented deviation: compact caustic islands (tiny lights behind
+specular chains) are separated from the rest of primary-sample space by a
+near-zero-contribution moat, so chains cross into them only via large
+steps — at equal low sample budgets the path tracer's stratified NEE
+resolves such caustics with lower error than this (or any
+primary-sample-space) MCMC.  The reference closes that gap with
+explicit-geometry caustic/manifold perturbations that re-solve the light
+connection each proposal (``mut_caustic.cpp``, ``mut_manifold.cpp``);
+porting those onto the SoA path representation is the known upgrade path.
+MLT's wins here are hard-visibility *exploration* (once found, a path
+family is exploited by perturbation) and robustness at high mutation
+budgets.
 """
 from __future__ import annotations
 

@@ -176,6 +176,18 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
+    return write_exr_stream(
+        path, lambda y0, n: img[y0:y0 + n], H, W, C, half=half,
+        metadata=metadata, channel_names=channel_names)
+
+
+def write_exr_stream(path: str, row_fn, H: int, W: int, C: int = 3,
+                     half: bool = True, metadata: dict | None = None,
+                     channel_names: list | None = None) -> None:
+    """Streaming writer: ``row_fn(y0, n) -> (n, W, C)`` supplies scanlines
+    on demand, so peak memory is one compression block — the out-of-core
+    path behind ``tiledhdrfilm`` (``src/films/tiledhdrfilm.cpp:101``)."""
+    img = None  # rows come from row_fn
     if channel_names is not None:
         assert len(channel_names) == C
         names = [str(n) for n in channel_names]
@@ -184,12 +196,9 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
     elif C == 3:
         names = ["R", "G", "B"]
     else:
-        names = ["A", "B", "G", "R"][:C] if C == 4 else [f"C{i}" for i in range(C)]
-        if C == 4:
-            img = img[..., [3, 2, 1, 0]]  # ABGR channel order (alphabetical)
+        names = [f"C{i}" for i in range(C)]
     order = np.argsort(names)
     names_sorted = [names[i] for i in order]
-    img_sorted = img[..., order]
 
     dt = np.dtype("<f2" if half else "<f4")
     ptype = _PT_HALF if half else _PT_FLOAT
@@ -225,10 +234,12 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
     for bi in range(n_blocks):
         y0 = bi * lpb
         n_lines = min(lpb, H - y0)
+        rows = np.asarray(row_fn(y0, n_lines), np.float32)
+        rows_sorted = rows[..., order]
         parts = []
         for li in range(n_lines):
             for ci in range(len(names_sorted)):
-                parts.append(img_sorted[y0 + li, :, ci].astype(dt).tobytes())
+                parts.append(rows_sorted[li, :, ci].astype(dt).tobytes())
         rawb = b"".join(parts)
         comp = zlib.compress(_interleave_and_predict(np.frombuffer(rawb, np.uint8)))
         if len(comp) >= len(rawb):

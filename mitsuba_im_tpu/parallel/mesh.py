@@ -34,6 +34,44 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> Mesh:
+    """Multi-host path: join the ``jax.distributed`` runtime and return the
+    *global* device mesh (every process's chips; collectives ride ICI
+    within a host and DCN across hosts — XLA picks the transport from the
+    mesh topology).
+
+    The analog of the reference's ``mtssrv`` cluster join
+    (``src/mitsuba/mtssrv.cpp``): instead of a bespoke TCP protocol, the
+    distributed runtime handles membership/barriers and ``psum`` replaces
+    WorkResult merging.  With no arguments the standard env variables
+    (``JAX_COORDINATOR_ADDRESS`` etc. / TPU pod auto-detection) apply.
+    """
+    kw = {}
+    if coordinator_address is not None:
+        kw = dict(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+    return make_mesh(jax.devices())
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """device_put every array leaf fully-replicated over ``mesh`` — needed
+    in multi-process mode where host-local inputs must become global
+    arrays before entering a mesh-spanning jit."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+
+    def put(a):
+        if isinstance(a, (jax.Array, np.ndarray)) and getattr(a, "ndim", 0) >= 0:
+            return jax.device_put(a, sharding)
+        return a
+
+    return jax.tree.map(put, tree)
+
+
 def render_pass_sharded(mesh: Mesh, scene: Scene, settings: RenderSettings,
                         cfg: PathConfig):
     """Build a jitted one-sample-per-pixel pass sharded over ``mesh``.

@@ -99,6 +99,11 @@ def _render_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
     pos = jnp.stack([px, py], axis=-1) + jitter
     uv = pos / jnp.asarray([width, height], Float)
 
+    if scene.motion is not None:
+        # stratified shutter time per pass (golden-ratio sequence)
+        u_t = (sample_idx * jnp.uint32(2654435769)).astype(Float) / 4294967296.0
+        scene = scene.with_time(scene.sensor.shutter_open
+                                + scene.sensor.shutter_time * u_t)
     o, d, w_sensor = sample_ray(scene.sensor, uv, u_lens)
     kw = {}
     if scene.textures.has_mip:
@@ -113,6 +118,42 @@ def _render_pass(scene: Scene, film_data, sample_idx, seed, *, width, height,
 
     film = Film(data=film_data, width=width, height=height, ftype=ftype, radius=radius)
     film = splat(film, pos, li)
+    return film.data
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "band_rows", "margin", "spp", "kind",
+                     "li_fn", "ftype", "radius"),
+    donate_argnames=("band_data",),
+)
+def _render_band(scene: Scene, band_data, sample_idx, seed, row0, *, width,
+                 height, band_rows, margin, spp, kind, li_fn, ftype, radius):
+    """One pass over rows [row0, row0+band_rows) of the full film, splatting
+    into a (band_rows + 2*margin, W, 4) band buffer (tiledhdrfilm path)."""
+    n = width * band_rows
+    lidx = jnp.arange(n, dtype=jnp.uint32)
+    pix = row0.astype(jnp.uint32) * width + lidx
+    in_img = pix < jnp.uint32(width * height)
+    sampler = mrng.make_sampler(pix, sample_idx, seed, kind=kind, spp=spp)
+    sampler, blk0 = mrng.next_block4(sampler)
+    jitter, u_lens = blk0[..., :2], blk0[..., 2:4]
+    px = (pix % width).astype(Float)
+    py = (pix // width).astype(Float)
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    uv = pos / jnp.asarray([width, height], Float)
+    if scene.motion is not None:
+        u_t = (sample_idx * jnp.uint32(2654435769)).astype(Float) / 4294967296.0
+        scene = scene.with_time(scene.sensor.shutter_open
+                                + scene.sensor.shutter_time * u_t)
+    o, d, w_sensor = sample_ray(scene.sensor, uv, u_lens)
+    li, _ = li_fn(scene, sampler, o, d)
+    li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0) * w_sensor[..., None]
+    band_pos = pos - jnp.asarray([0.0, 1.0], Float) * (
+        row0.astype(Float) - margin)
+    film = Film(data=band_data, width=width, height=band_data.shape[0],
+                ftype=ftype, radius=radius)
+    film = splat(film, band_pos, li, active=in_img)
     return film.data
 
 

@@ -44,6 +44,7 @@ class RenderSettings:
     tonemap: str = "gamma"
     exposure: float = 0.0
     key: float = 0.18
+    tiled: bool = False  # tiledhdrfilm: out-of-core band rendering
 
 
 class SceneBuilder:
@@ -53,6 +54,9 @@ class SceneBuilder:
         self.emitter_records: list[dict] = []
         self.media_records: list[dict] = []
         # triangle soup accumulators
+        self.has_motion = False
+        self._tri1: dict[str, list] = {k: [] for k in (
+            "p0", "e1", "e2", "n0", "n1", "n2")}
         self._tri: dict[str, list] = {k: [] for k in (
             "p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "shape")}
         self._sph: dict[str, list] = {k: [] for k in ("center", "radius", "shape")}
@@ -115,6 +119,37 @@ class SceneBuilder:
         t["n0"].append(n0); t["n1"].append(n1); t["n2"].append(n2)
         t["uv0"].append(uv0); t["uv1"].append(uv1); t["uv2"].append(uv2)
         t["shape"].append(np.full(len(idx), shape_id, np.int32))
+        t1 = self._tri1
+        t1["p0"].append(p0); t1["e1"].append(e1); t1["e2"].append(e2)
+        t1["n0"].append(n0); t1["n1"].append(n1); t1["n2"].append(n2)
+
+    def add_trimesh_motion(self, mesh0: TriMesh, mesh1: TriMesh,
+                           shape_id: int):
+        """Two-keyframe animated mesh: frame 0 enters the static tables,
+        frame 1 the motion mirror (``Scene.with_time`` lerps on device)."""
+        if len(mesh0.indices) != len(mesh1.indices):
+            raise ValueError("deformable keyframes must share topology")
+        n_before = len(self._tri1["p0"])
+        self.add_trimesh(mesh0, shape_id)
+        # overwrite the mirror entry just appended with frame-1 geometry
+        p = np.asarray(mesh1.positions, np.float64)
+        idx = np.asarray(mesh1.indices, np.int64)
+        p0 = p[idx[:, 0]]
+        e1 = p[idx[:, 1]] - p0
+        e2 = p[idx[:, 2]] - p0
+        if mesh1.normals is not None:
+            n0, n1, n2 = (mesh1.normals[idx[:, k]] for k in range(3))
+        else:
+            gn = np.cross(e1, e2)
+            l = np.linalg.norm(gn, axis=1, keepdims=True)
+            gn = np.divide(gn, l, out=np.zeros_like(gn), where=l > 0)
+            n0 = n1 = n2 = gn
+        t1 = self._tri1
+        t1["p0"][n_before] = p0; t1["e1"][n_before] = e1
+        t1["e2"][n_before] = e2
+        t1["n0"][n_before] = n0; t1["n1"][n_before] = n1
+        t1["n2"][n_before] = n2
+        self.has_motion = True
 
     def add_sphere(self, center, radius: float, shape_id: int) -> int:
         s = self._sph
@@ -164,17 +199,33 @@ class SceneBuilder:
         stats.record("Scene", "Emitters", len(self.emitter_records))
         stats.record("Scene", "BSDF instances", len(self.bsdf_records))
 
+        motion = None
+        if self.has_motion and tri is not None:
+            # frame-1 mirror, row-aligned with the static tri tables
+            m1 = {k: np.concatenate(v, axis=0).astype(np.float32)
+                  for k, v in self._tri1.items()}
+            motion = {k: jnp.asarray(np.concatenate(
+                [m1[k], tri[k][len(m1[k]):].astype(np.float32)], axis=0),
+                Float) for k in m1}
+
         # BVH + clusters (built only when the soup beats brute force)
         n_tris = geom.n_tris
         clusters = None
-        if n_tris > BRUTE_FORCE_MAX:
+        if self.has_motion and n_tris > BRUTE_FORCE_MAX:
+            from ..core.registry import warn_substitution
+
+            warn_substitution(
+                "accel", "deformable scenes above the brute-force "
+                "threshold fall back to all-primitive testing (the static "
+                "hierarchy cannot cover moving triangles yet)")
+        if n_tris > BRUTE_FORCE_MAX and not self.has_motion:
             from ..accel.hierarchy import build_hierarchy
 
             clusters = build_hierarchy(
                 np.asarray(geom.tri_p0)[:n_tris], np.asarray(geom.tri_e1)[:n_tris],
                 np.asarray(geom.tri_e2)[:n_tris],
             )
-        if n_tris > BRUTE_FORCE_MAX:
+        if n_tris > BRUTE_FORCE_MAX and not self.has_motion:
             lo, hi = bvh_mod.tri_bounds(
                 np.asarray(geom.tri_p0), np.asarray(geom.tri_e1), np.asarray(geom.tri_e2)
             )
@@ -234,6 +285,7 @@ class SceneBuilder:
             shape_subsurface=jnp.asarray(self.shape_subsurface or [INVALID], Int),
             use_bvh=use_bvh,
             camera_medium=self.camera_medium,
+            motion=motion,
         )
         if self.subsurface_records:
             from ..subsurface import build_subsurface

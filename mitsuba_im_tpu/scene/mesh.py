@@ -294,6 +294,15 @@ F_SINGLE_PRECISION = 0x1000
 F_DOUBLE_PRECISION = 0x2000
 
 
+def serialized_shape_count(path: str) -> int:
+    """Number of meshes embedded in a ``.serialized`` container (animation
+    frames for the deformable shape, sub-meshes otherwise)."""
+    with open(path, "rb") as f:
+        f.seek(-4, 2)
+        (count,) = struct.unpack("<I", f.read(4))
+    return count
+
+
 def load_serialized(path: str, shape_index: int = 0) -> TriMesh:
     """Mitsuba compressed ``.serialized`` mesh (``src/shapes/serialized.cpp``)."""
     with open(path, "rb") as f:

@@ -39,8 +39,27 @@ class Scene:
     shape_exterior: jax.Array  # (S,) int32
     shape_subsurface: jax.Array | None = None  # (S,) int32 subsurface ids
     subsurface: object = None  # SubsurfaceTable or None
+    motion: object = None  # dict of frame-1 tri arrays (deformable shapes)
     use_bvh: bool = static_field(default=False)
     camera_medium: int = static_field(default=-1)
+
+    def with_time(self, t):
+        """Shutter-time snapshot: lerp deformable keyframes on device
+        (``src/shapes/deformable.cpp`` fillIntersectionRecord's alpha lerp,
+        applied to the whole wavefront's shared shutter time)."""
+        if self.motion is None:
+            return self
+        g = self.geom
+        L = lambda a, b: a + (b - a) * t
+        geom = g.replace(
+            tri_p0=L(g.tri_p0, self.motion["p0"]),
+            tri_e1=L(g.tri_e1, self.motion["e1"]),
+            tri_e2=L(g.tri_e2, self.motion["e2"]),
+            tri_n0=L(g.tri_n0, self.motion["n0"]),
+            tri_n1=L(g.tri_n1, self.motion["n1"]),
+            tri_n2=L(g.tri_n2, self.motion["n2"]),
+        )
+        return self.replace(geom=geom)
 
     # -- queries (scene.h rayIntersect / isOccluded analogs) ---------------
     def ray_intersect(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:

@@ -275,14 +275,48 @@ def _instance(props: Properties, ctx=None):
 
 @register("shape", "deformable")
 def _deformable(props: Properties, ctx=None):
-    """Keyframed mesh: loads the t=0 snapshot (4D motion kd-tree analog —
-    time-sampled BVH rebuild — planned)."""
-    inner = props.children.get("shape_props")
-    if inner is not None:
-        from ..core import registry
+    """Keyframed animated mesh (``src/shapes/deformable.cpp`` SpaceTimeKDTree).
 
-        return registry.create("shape", inner, ctx)
-    return None
+    TPU redesign: instead of a 4D kd-tree (``sahkdtree4.h:113``), the two
+    bracketing keyframes are both resident and the *whole wavefront* shares
+    one shutter time per pass — vertex positions lerp on device
+    (``Scene.with_time``) before tracing, so a progressive render
+    stratifies shutter times across passes (equal-quality motion blur with
+    zero per-ray machinery).  Frames load from a multi-mesh ``.serialized``
+    container (the reference's animation-frame convention); with >2 frames
+    the first/last bracket the shutter and intermediate frames are lerped
+    piecewise at build (documented simplification).
+    """
+    path = ctx.resolve_path(props.get_string("filename", ""))
+    if not path:
+        inner = props.children.get("shape_props")
+        if inner is not None:
+            from ..core import registry
+
+            return registry.create("shape", inner, ctx)
+        return None
+    from .mesh import load_serialized, serialized_shape_count
+
+    n_frames = serialized_shape_count(path)
+    mesh0 = load_serialized(path, 0)
+    mesh1 = load_serialized(path, n_frames - 1) if n_frames > 1 else mesh0
+    to_world = props.get_transform("toWorld", Transform())
+    mesh0 = mesh0.transformed(to_world)
+    mesh1 = mesh1.transformed(to_world)
+    if mesh0.normals is None:
+        mesh0 = mesh0.compute_normals()
+    if mesh1.normals is None:
+        mesh1 = mesh1.compute_normals()
+    bsdf_id, em_rec, mi, me, ss_id = _shape_common(props, ctx)
+    sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me, subsurface=ss_id)
+    ctx.add_trimesh_motion(mesh0, mesh1, sid)
+    if em_rec is not None:
+        e1 = mesh0.positions[mesh0.indices[:, 1]] - mesh0.positions[mesh0.indices[:, 0]]
+        e2 = mesh0.positions[mesh0.indices[:, 2]] - mesh0.positions[mesh0.indices[:, 0]]
+        area = float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum())
+        _attach_area_emitter(ctx, em_rec, sid, et.AK_TRIMESH,
+                             surface_area=area)
+    return sid
 
 
 def load_hair(path: str) -> list[np.ndarray]:

@@ -1,6 +1,7 @@
 """Hair shape + hierarchical grid volume (round-2 de-stubbed plugins)."""
 import textwrap
 
+import os
 import numpy as np
 import pytest
 
@@ -132,3 +133,87 @@ class TestHGridVolume:
         rec = create("volume", props, None)
         assert rec["data"].max() == 1.0
         assert rec["data"].shape == (2, 2, 2, 1)
+
+
+@pytest.mark.quick
+class TestDeformable:
+    """Keyframed motion blur (src/shapes/deformable.cpp / sahkdtree4.h)."""
+
+    def _write_frames(self, td):
+        import numpy as np
+        from mitsuba_im_tpu.scene.mesh import TriMesh, save_serialized
+
+        quad = lambda dx: TriMesh(
+            np.array([[-0.3 + dx, 0, 0], [0.3 + dx, 0, 0],
+                      [0.3 + dx, 0.6, 0], [-0.3 + dx, 0.6, 0]], np.float64),
+            np.array([[0, 1, 2], [0, 2, 3]], np.int64))
+        path = os.path.join(td, "frames.serialized")
+        save_serialized(path, [quad(-0.6), quad(0.6)])  # slides right
+        return path
+
+    def _scene(self, td, shutter):
+        import textwrap
+        from mitsuba_im_tpu.scene.xml import load_scene
+
+        xml = textwrap.dedent(f"""\
+        <scene version="0.6.0">
+            <integrator type="path"><integer name="maxDepth" value="2"/></integrator>
+            <sensor type="perspective">
+                <float name="fov" value="45"/>
+                <float name="shutterOpen" value="0"/>
+                <float name="shutterClose" value="{shutter}"/>
+                <transform name="toWorld">
+                    <lookat origin="0, 0.3, 2.5" target="0, 0.3, 0" up="0, 1, 0"/>
+                </transform>
+                <film type="hdrfilm">
+                    <integer name="width" value="48"/>
+                    <integer name="height" value="32"/>
+                </film>
+            </sensor>
+            <shape type="deformable">
+                <string name="filename" value="{td}/frames.serialized"/>
+                <bsdf type="diffuse"/>
+            </shape>
+            <emitter type="constant"><rgb name="radiance" value="1 1 1"/></emitter>
+        </scene>
+        """)
+        p = os.path.join(td, "s.xml")
+        open(p, "w").write(xml)
+        return load_scene(p)
+
+    def test_motion_blur_sweeps(self, tmp_path):
+        from mitsuba_im_tpu.render.job import render
+
+        td = str(tmp_path)
+        self._write_frames(td)
+        scene, settings = self._scene(td, shutter=1.0)
+        assert scene.motion is not None
+        img_blur = render(scene, settings, spp=16)
+
+        scene0, settings0 = self._scene(td, shutter=0.0)  # frozen at t=0
+        img_t0 = render(scene0, settings0, spp=4)
+
+        lum_b = img_blur.mean(-1)
+        lum_0 = img_t0.mean(-1)
+        # t=0: quad occupies image-left only; right third must differ
+        # once the shutter sweeps the quad across
+        left = np.s_[8:24, 4:16]
+        right = np.s_[8:24, 32:44]
+        assert abs(lum_0[left].mean() - lum_b[left].mean()) > 0.02
+        assert abs(lum_0[right].mean() - lum_b[right].mean()) > 0.02
+        # blurred image has partial coverage (values strictly between the
+        # frozen frame's occupied / empty extremes) in the swept band
+        band = lum_b[8:24, 16:32]
+        assert band.std() > 0.0
+
+    def test_time_lerp_midpoint(self, tmp_path):
+        import jax.numpy as jnp
+
+        td = str(tmp_path)
+        self._write_frames(td)
+        scene, _ = self._scene(td, shutter=1.0)
+        mid = scene.with_time(jnp.float32(0.5))
+        p0 = np.asarray(mid.geom.tri_p0)
+        p0_a = np.asarray(scene.geom.tri_p0)
+        p0_b = np.asarray(scene.motion["p0"])
+        np.testing.assert_allclose(p0, 0.5 * (p0_a + p0_b), atol=1e-6)

@@ -1,6 +1,7 @@
 """Preetham sun/sky emitter: model sanity + scene integration
 (reference src/emitters/{sky,sun,sunsky}.cpp capability)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import sys, os
@@ -140,3 +141,60 @@ class TestSceneIntegration:
         assert sky[..., 2].mean() > sky[..., 0].mean()
         # ground is lit (sun + sky NEE)
         assert img[16:].mean() > 0.01
+
+
+@pytest.mark.quick
+class TestHosekWilkie:
+    """Hosek-Wilkie 2012 model (src/emitters/sunsky/skymodel.cpp parity)."""
+
+    def test_turbidity_sweep(self):
+        from mitsuba_im_tpu.emitter.hosek import hosek_sky_pixels
+
+        sun = np.array([0.3, 0.6, 0.4])
+        sun /= np.linalg.norm(sun)
+        imgs = {t: hosek_sky_pixels(64, sun, turbidity=t, extend=False)
+                for t in (1.5, 3.0, 6.0, 9.0)}
+        for t, img in imgs.items():
+            assert np.isfinite(img).all() and (img >= 0).all(), t
+        # zenith blueness ratio (B/R) falls as turbidity rises (hazier sky)
+        zen = {t: img[1, :, :].mean(0) for t, img in imgs.items()}
+        br = {t: zen[t][2] / max(zen[t][0], 1e-6) for t in imgs}
+        assert br[1.5] > br[6.0] > br[9.0]
+        # circumsolar brightening: pixels near the sun outshine the
+        # opposite sky at all turbidities
+        H, W = imgs[3.0].shape[:2]
+        theta = np.arccos(sun[1])
+        phi = np.arctan2(sun[0], -sun[2]) % (2 * np.pi)
+        sy, sx = int(theta / np.pi * H), int(phi / (2 * np.pi) * W)
+        ay, ax = sy, (sx + W // 2) % W
+        for t, img in imgs.items():
+            assert img[sy, sx].mean() > img[ay, ax].mean(), t
+
+    def test_elevation_bezier_continuity(self):
+        """Coefficients vary smoothly with solar elevation (no knot jumps)."""
+        from mitsuba_im_tpu.emitter.hosek import hosek_coeffs
+
+        prev = None
+        for el in np.linspace(0.2, 1.4, 25):
+            c, r = hosek_coeffs(3.0, 0.2, float(el))
+            assert np.isfinite(c).all() and np.isfinite(r).all()
+            if prev is not None:
+                # smooth: no >2x jumps between adjacent elevations
+                assert np.abs(r - prev).max() / (np.abs(prev).max() + 1e-6) < 1.0
+            prev = r
+
+    def test_sky_plugin_uses_hosek_by_default(self):
+        from mitsuba_im_tpu.core.registry import create
+        from mitsuba_im_tpu.core.properties import Properties
+
+        p = Properties("sky")
+        p.set("resolution", 64)
+        rec = create("emitter", p)
+        assert rec["pixels"].shape == (32, 64, 3)
+        p2 = Properties("sky")
+        p2.set("resolution", 64)
+        p2.set("skyModel", "preetham")
+        rec2 = create("emitter", p2)
+        # the two models agree on broad photometric scale (same units)
+        m1, m2 = rec["pixels"].mean(), rec2["pixels"].mean()
+        assert 0.1 < m1 / m2 < 10.0
