@@ -166,7 +166,7 @@ def bench_large_scene():
         return run
 
     rays_per_pass = n * (1 + 2 * n_iters)
-    return _scan_rate(scanner, scene, rays_per_pass, 1, 5), n_tris
+    return _scan_rate(scanner, scene, rays_per_pass, 1, 3), n_tris
 
 
 def main():

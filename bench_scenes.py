@@ -55,7 +55,7 @@ def _displaced_sphere(n_tris_target: int) -> tuple[np.ndarray, np.ndarray]:
     return pos, np.asarray(idx, np.int64)
 
 
-def build_large_scene(res: int = 768):
+def build_large_scene(res: int = 512):
     """Scene with ~1M tris + envmap. Returns (scene, (W, H), n_tris)."""
     from mitsuba_im_tpu.scene.build import SceneBuilder
     from mitsuba_im_tpu.scene.mesh import TriMesh, load_ply
