@@ -3,7 +3,7 @@
 
 Supported: scene args with -D key=value substitution, -o output, -s spp
 override, -t thread/device info, -r periodic flush, -S progressive dumps,
--x skip-if-exists, -j parallel scenes (sequential fallback), -c checkpoint,
+-x skip-if-exists, -j pipelined scene builds, -c checkpoint,
 -z resume, -q/-v verbosity, -i interactive/progressive mode.
 Cluster flags (-c host lists) are replaced by the JAX distributed runtime
 (see parallel/): multi-chip needs no bespoke transport.
@@ -49,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--local-worker", dest="local_worker",
                     action=argparse.BooleanOptionalAction, default=True,
                     help="with --nodes: also render on this process")
+    ap.add_argument("-j", dest="jobs", type=int, default=1,
+                    help="scene-build pipelining depth: load/compile the "
+                         "next scenes on host threads while the chip "
+                         "renders (mitsuba.cpp -j analog; the TPU itself "
+                         "is exclusive, so device passes stay serialized)")
     ap.add_argument("-q", dest="quiet", action="store_true")
     ap.add_argument("-v", dest="verbose", action="store_true")
     ap.add_argument("--width", type=int, default=None)
@@ -77,6 +82,14 @@ def main(argv=None) -> int:
         set_log_level(EDebug)
 
     rc = 0
+    loader = None
+    if args.jobs > 1 and len(args.scenes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=max(args.jobs - 1, 1))
+        futures = {p: pool.submit(load_scene, p, params)
+                   for p in args.scenes}
+        loader = futures.get
     for scene_path in args.scenes:
         out = args.output or os.path.splitext(scene_path)[0] + ".exr"
         if args.skip_existing and os.path.exists(out):
@@ -84,7 +97,10 @@ def main(argv=None) -> int:
                 print(f"[skip] {out} exists")
             continue
         t0 = time.time()
-        scene, settings = load_scene(scene_path, params)
+        if loader is not None and loader(scene_path) is not None:
+            scene, settings = loader(scene_path).result()
+        else:
+            scene, settings = load_scene(scene_path, params)
         if args.spp:
             settings.spp = args.spp
         if args.width:
