@@ -139,7 +139,7 @@ def bench_large_scene():
     from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
     from mitsuba_im_tpu.sensor.table import sample_ray_v
 
-    scene, (W, H), n_tris = build_large_scene()
+    scene, (W, H), n_tris = build_large_scene(res=768)
     max_depth = 3
     cfg = PathConfig(max_depth=max_depth, remat=False)
     n_iters = max_depth - 1

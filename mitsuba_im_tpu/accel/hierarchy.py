@@ -1,31 +1,42 @@
 """Two-level cluster hierarchy: the large-scene (~1M+ triangle) intersector.
 
-Extends the single-level cluster marcher (:mod:`mitsuba_im_tpu.accel.cluster`)
-with a second level so per-visit cost stops scaling with the global cluster
-count.  This is the TPU answer to the reference's SAH kd-tree
+This is the TPU answer to the reference's SAH kd-tree
 (``/root/reference/include/mitsuba/render/gkdtree.h:1050`` parallel build,
 ``skdtree.h:431`` Havran traversal): instead of a per-lane pointer walk
 (hostile to 8x128 vector lanes — every step is a divergent gather), rays
-march *supers* and *clusters* in increasing entry-``t`` order using a
-lexicographic gate, so all per-step work is dense vector math plus one
-contiguous row gather:
+march *supers* in increasing entry-``t`` order using a lexicographic gate,
+so all per-step work is dense vector math plus one contiguous row gather:
 
-- **clusters**: <=``LEAF`` triangles each (binned-SAH leaves), stored as
-  padded ``(S*SUP, LEAF, 9)`` blocks — one cluster loads as a single
-  contiguous row gather per lane;
+- **clusters**: <=``LEAF`` triangles each (binned-SAH leaves), stored as one
+  *lane-aligned packed row* per cluster — ``(C, 640)`` f32: 64 triangles x 9
+  floats (p0|e1|e2) plus the 64 primitive ids bitcast into the tail.  One
+  cluster = one 2.5 KB row gather.
 - **supers**: <=``SUP`` clusters each (a second SAH build over cluster
-  AABBs).  A ray sweeps the ``S`` super AABBs (dense ``(N, chunk)`` slab
-  tests), enters the nearest unvisited super with entry < current best hit,
-  slab-tests its ``SUP`` child AABBs (one ``(N, SUP, 3)`` gather), and
-  marches the children nearest-first, Moeller-Trumbore-testing one cluster
-  block per step.
+  AABBs).  A ray sweeps the super AABBs (dense per-axis slab tests on
+  ``(3, S_pad)`` transposed tables), enters the nearest unvisited super with
+  entry < current best hit, slab-tests its packed ``(384,)`` child-AABB row,
+  and marches the children nearest-first.
 
-Cost per closest hit is ``O(S/chunk)`` sweeps + a handful of 1.5 KB/2.3 KB
-row gathers, independent of total triangle count; capacity is
-``S * SUP * LEAF`` (= 4.2M triangles at S=1024 with default tuning, and S is
-unbounded).
+Measured design notes (v5e, round 3).  The round-2 incarnation of this file
+ran at 0.14-0.35 Mrays/s; profiling showed every cost was an avoidable
+artifact, not a bandwidth wall:
 
-Instancing (``/root/reference/src/shapes/instance.cpp``) composes at the
+- XLA row gathers are *layout-bound*: a ``(C, 64, 9)`` gather moves 59 GB/s
+  because the trailing dim 9 breaks lane alignment, while the same bytes as
+  packed ``(C, 640)`` rows (640 = 5x128 lanes) move ~300 GB/s.  Everything
+  gathered per step is therefore packed into lane-multiple rows, with int
+  payloads bitcast into the float matrix so one gather carries them all.
+- ``argsort(512K)`` costs 0.54 ms (the round-2 profile misattributed 16 ms
+  to it), so stable-sort compaction per round is kept — it beats both
+  cumsum+scatter partition (2.6 ms) and queue-refill gathers (1.5 ms).
+- Exact CPU traversal stats on the 1.1M-triangle bench bunny show mean
+  leaf visits per ray of ~0.6-2 (p50 = 0: most rays miss the root or hit on
+  the first nearest-first visit).  Per-ray *work* is tiny; throughput is
+  set by scheduling overhead.  Hence ``K_INNER`` (steps per compaction
+  round) is small — long lockstep runs only serve stragglers while every
+  lane keeps paying the full per-step cost.
+
+Instancing (``/root/reference/src/shapes/instance.cpp:115``) composes at the
 super level: each super carries an instance id; child AABBs and triangle
 blocks are stored in *local* (BLAS) space and shared across instances, while
 super AABBs are world-space.  Rays transform into instance space with an
@@ -39,32 +50,43 @@ import jax.numpy as jnp
 
 from ..core.types import pytree_dataclass, static_field, Float, Int
 
-LEAF = 64  # triangles per cluster
-SUP = 64   # clusters per super
+LEAF = 64   # triangles per cluster
+SUP = 64    # clusters per super
+ROW = LEAF * 9 + LEAF  # 640 = packed cluster row (tris + prim ids)
+CROW = SUP * 6         # 384 = packed child-AABB row
 BIG = 3.0e37
+FAR = 1.0e30  # degenerate padding box (point at +FAR: every slab rejects it)
+
+FRONT = 1 << 13     # compaction front (rays stepped per round); above
+                    # ~16K lanes XLA stops fusing the (M, SUP) slab/MT
+                    # chains (measured 6x step-cost blowup at 32K)
+K_INNER = 2         # traversal steps per compaction round
+SWEEP_CHUNK = 1024  # supers per dense sweep pass (S <= 1024: single pass)
+SWEEP_ALIGN = 128   # pad S to this multiple (pads cost dense slab lanes)
+IBIG = jnp.iinfo(np.int32).max
 
 
 @pytree_dataclass
 class Hierarchy:
-    sup_lo: jax.Array   # (S, 3) world-space super AABBs
-    sup_hi: jax.Array   # (S, 3)
-    sup_inst: jax.Array  # (S,) instance id (0 = identity for non-instanced)
-    ch_lo: jax.Array    # (S, SUP, 3) child cluster AABBs, local space
-    ch_hi: jax.Array    # (S, SUP, 3) (padding: lo=+BIG, hi=-BIG)
-    tris: jax.Array     # (S*SUP, LEAF, 9) p0|e1|e2, local space
-    prim: jax.Array     # (S*SUP, LEAF) original triangle ids
-    valid: jax.Array    # (S*SUP, LEAF) 1/0
+    swp_lo: jax.Array    # (3, S_pad) transposed world-space super AABB mins
+    swp_hi: jax.Array    # (3, S_pad)
+    sup_inst: jax.Array  # (S_pad,) instance id (0 = identity)
+    childs: jax.Array    # (S, CROW) packed [lo3 hi3] x SUP child AABBs, local
+    blocks: jax.Array    # (C, ROW) packed cluster rows, local space
     inst_inv: jax.Array  # (I, 3, 4) world->local affine transforms
-    inst_fwd: jax.Array  # (I, 3, 4) local->world (normals need inv^T = fwd rows)
+    inst_fwd: jax.Array  # (I, 3, 4) local->world
+    sup_blas: jax.Array  # (S_pad,) world super -> BLAS super row (instanced)
     n_supers: int = static_field(default=0)
     n_tris: int = static_field(default=0)
+    indirect: bool = static_field(default=False)  # sup_blas indirection live
 
 
 def _pack_leaves(flat, soup, tri_ids=None):
     """Extract (C, LEAF-padded) cluster blocks from a host BVH dict's leaves.
 
-    Returns (cl_lo, cl_hi, tris, prim, valid) with C = number of leaves,
-    blocks in DFS (spatially coherent) order.
+    Returns (cl_lo, cl_hi, rows) with C = number of leaves, in DFS
+    (spatially coherent) order; ``rows`` is the packed (C, ROW) matrix.
+    Padded triangle slots are all-zero (degenerate: det == 0 never hits).
     """
     node_count = flat["node_count"]
     node_start = flat["node_start"]
@@ -76,16 +98,63 @@ def _pack_leaves(flat, soup, tri_ids=None):
     C = len(leaves)
     counts = node_count[leaves]
     starts = node_start[leaves]
-    # vectorized packing: (C, LEAF) index matrix into `order`
     k = np.arange(LEAF)[None, :]
     vmask = k < counts[:, None]
     idx = np.minimum(starts[:, None] + k, len(order) - 1)
-    ids = order[idx]
-    ids = np.where(vmask, ids, 0)
+    ids = np.where(vmask, order[idx], 0)
     tris = np.where(vmask[:, :, None], soup[ids], 0.0).astype(np.float32)
     prim = np.where(vmask, ids if tri_ids is None else tri_ids[ids], 0)
-    return (node_lo[leaves], node_hi[leaves], tris,
-            prim.astype(np.int32), vmask.astype(np.float32))
+    # component-blocked row: [p0x*64 p0y p0z e1x e1y e1z e2x e2y e2z prim*64]
+    # so the device slices nine contiguous (M, LEAF) planes after the gather
+    # (interleaved layouts force strided slices / unfusable (M,64,3) math)
+    rows = np.empty((C, ROW), np.float32)
+    rows[:, : LEAF * 9] = tris.transpose(0, 2, 1).reshape(C, LEAF * 9)
+    rows[:, LEAF * 9 :] = prim.astype(np.int32).view(np.float32)
+    return node_lo[leaves], node_hi[leaves], rows
+
+
+def _pack_supers(cl_lo, cl_hi, rows):
+    """Second SAH level: cluster AABBs -> supers; returns packed tables."""
+    from . import bvh as bvh_mod
+
+    C = cl_lo.shape[0]
+    flat2 = bvh_mod.build_bvh_arrays(cl_lo, cl_hi, leaf_size=SUP)
+    n2_count = flat2["node_count"]
+    sup = np.nonzero(n2_count > 0)[0]
+    S = len(sup)
+    counts = n2_count[sup]
+    starts = flat2["node_start"][sup]
+    order2 = flat2["order"]
+    k = np.arange(SUP)[None, :]
+    cmask = k < counts[:, None]
+    cidx = np.minimum(starts[:, None] + k, len(order2) - 1)
+    cids = np.where(cmask, order2[cidx], 0)  # (S, SUP) cluster ids
+
+    # child AABB rows, component-blocked [lox*SUP loy loz hix hiy hiz];
+    # pads get the far point box
+    ch = np.empty((S, SUP, 6), np.float32)
+    ch[..., 0:3] = np.where(cmask[..., None], cl_lo[cids], FAR)
+    ch[..., 3:6] = np.where(cmask[..., None], cl_hi[cids], FAR)
+    ch = ch.transpose(0, 2, 1)  # (S, 6, SUP)
+
+    # block rows re-ordered so super s owns rows [s*SUP, (s+1)*SUP)
+    blocks = np.zeros((S * SUP, ROW), np.float32)
+    flatmask = cmask.reshape(-1)
+    blocks[flatmask] = rows[cids.reshape(-1)[flatmask]]
+
+    sup_lo = flat2["node_lo"][sup]
+    sup_hi = flat2["node_hi"][sup]
+    return sup_lo, sup_hi, ch.reshape(S, CROW), blocks
+
+
+def _pad_sweep(sup_lo, sup_hi):
+    S = sup_lo.shape[0]
+    S_pad = max(-(-S // SWEEP_ALIGN) * SWEEP_ALIGN, SWEEP_ALIGN)
+    lo = np.full((S_pad, 3), FAR, np.float32)
+    hi = np.full((S_pad, 3), FAR, np.float32)
+    lo[:S] = sup_lo
+    hi[:S] = sup_hi
+    return lo.T.copy(), hi.T.copy()
 
 
 def build_hierarchy(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
@@ -100,130 +169,181 @@ def build_hierarchy(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
 
     lo, hi = bvh_mod.tri_bounds(p0, e1, e2)
     flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=leaf_size)
-    cl_lo, cl_hi, tris, prim, valid = _pack_leaves(flat, soup)
-    C = cl_lo.shape[0]
-
-    # second level: SAH over cluster AABBs
-    flat2 = bvh_mod.build_bvh_arrays(cl_lo, cl_hi, leaf_size=SUP)
-    n2_count = flat2["node_count"]
-    n2_start = flat2["node_start"]
-    n2_lo = flat2["node_lo"]
-    n2_hi = flat2["node_hi"]
-    order2 = flat2["order"]
-    sup = np.nonzero(n2_count > 0)[0]
-    S = len(sup)
-
-    ch_lo = np.full((S, SUP, 3), BIG, np.float32)
-    ch_hi = np.full((S, SUP, 3), -BIG, np.float32)
-    tris_p = np.zeros((S * SUP, LEAF, 9), np.float32)
-    prim_p = np.zeros((S * SUP, LEAF), np.int32)
-    valid_p = np.zeros((S * SUP, LEAF), np.float32)
-    counts = n2_count[sup]
-    starts = n2_start[sup]
-    k = np.arange(SUP)[None, :]
-    cmask = k < counts[:, None]
-    cidx = np.minimum(starts[:, None] + k, len(order2) - 1)
-    cids = np.where(cmask, order2[cidx], 0)  # (S, SUP) cluster ids
-    ch_lo[cmask] = cl_lo[cids[cmask]]
-    ch_hi[cmask] = cl_hi[cids[cmask]]
-    flatmask = cmask.reshape(-1)
-    flatcids = cids.reshape(-1)
-    tris_p[flatmask] = tris[flatcids[flatmask]]
-    prim_p[flatmask] = prim[flatcids[flatmask]]
-    valid_p[flatmask] = valid[flatcids[flatmask]]
+    cl_lo, cl_hi, rows = _pack_leaves(flat, soup)
+    sup_lo, sup_hi, childs, blocks = _pack_supers(cl_lo, cl_hi, rows)
+    swp_lo, swp_hi = _pad_sweep(sup_lo, sup_hi)
+    S_pad = swp_lo.shape[1]
 
     ident = np.concatenate([np.eye(3, dtype=np.float32),
                             np.zeros((3, 1), np.float32)], axis=1)[None]
     return Hierarchy(
-        sup_lo=jnp.asarray(n2_lo[sup], Float),
-        sup_hi=jnp.asarray(n2_hi[sup], Float),
-        sup_inst=jnp.zeros((S,), Int),
-        ch_lo=jnp.asarray(ch_lo, Float), ch_hi=jnp.asarray(ch_hi, Float),
-        tris=jnp.asarray(tris_p, Float), prim=jnp.asarray(prim_p, Int),
-        valid=jnp.asarray(valid_p, Float),
+        swp_lo=jnp.asarray(swp_lo, Float), swp_hi=jnp.asarray(swp_hi, Float),
+        sup_inst=jnp.zeros((S_pad,), Int),
+        childs=jnp.asarray(childs, Float),
+        blocks=jnp.asarray(blocks, Float),
         inst_inv=jnp.asarray(ident, Float), inst_fwd=jnp.asarray(ident, Float),
-        n_supers=S, n_tris=int(len(p0)),
+        sup_blas=jnp.zeros((1,), Int),
+        n_supers=int(sup_lo.shape[0]), n_tris=int(len(p0)),
     )
 
 
+def build_hierarchy_instanced(blas_list, instances) -> Hierarchy:
+    """Shared-BLAS instancing (``/root/reference/src/shapes/instance.cpp:115``).
+
+    blas_list: list of (p0, e1, e2, tri_ids) triangle soups in local space.
+    instances: list of (blas_index, to_world (3,4), prim_offset_unused) —
+    each instance contributes its BLAS's supers with world-space swept AABBs
+    while child AABBs and triangle blocks are shared.  Memory is
+    O(unique tris + instances x supers-per-blas).
+    """
+    from . import bvh as bvh_mod
+
+    blas_data = []
+    for (p0, e1, e2, tri_ids) in blas_list:
+        p0 = np.asarray(p0, np.float32)
+        e1 = np.asarray(e1, np.float32)
+        e2 = np.asarray(e2, np.float32)
+        soup = np.concatenate([p0, e1, e2], axis=1)
+        lo, hi = bvh_mod.tri_bounds(p0, e1, e2)
+        flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=LEAF)
+        cl_lo, cl_hi, rows = _pack_leaves(
+            flat, soup, None if tri_ids is None
+            else np.asarray(tri_ids, np.int64))
+        blas_data.append(_pack_supers(cl_lo, cl_hi, rows))
+
+    childs = np.concatenate([b[2] for b in blas_data], axis=0)
+    blocks = np.concatenate([b[3] for b in blas_data], axis=0)
+    sup_off = np.cumsum([0] + [b[0].shape[0] for b in blas_data])
+
+    all_lo, all_hi, all_inst, all_sid = [], [], [], []
+    inv_list = [np.concatenate([np.eye(3, dtype=np.float32),
+                                np.zeros((3, 1), np.float32)], axis=1)]
+    fwd_list = [inv_list[0].copy()]
+    for (blas_i, to_world) in instances:
+        M = np.asarray(to_world, np.float32).reshape(3, 4)
+        R = M[:, :3]
+        Rinv = np.linalg.inv(R)
+        inv = np.concatenate([Rinv, (-Rinv @ M[:, 3])[:, None]], axis=1)
+        identity = np.allclose(M, inv_list[0])
+        if identity:
+            iid = 0
+        else:
+            iid = len(inv_list)
+            inv_list.append(inv.astype(np.float32))
+            fwd_list.append(M)
+        s_lo, s_hi = blas_data[blas_i][0], blas_data[blas_i][1]
+        # world AABB of a transformed box: |R| trick
+        cent = (s_lo + s_hi) * 0.5 @ R.T + M[:, 3]
+        ext = (s_hi - s_lo) * 0.5 @ np.abs(R).T
+        all_lo.append(cent - ext)
+        all_hi.append(cent + ext)
+        n_s = s_lo.shape[0]
+        all_inst.append(np.full(n_s, iid, np.int32))
+        all_sid.append(np.arange(sup_off[blas_i], sup_off[blas_i] + n_s,
+                                 dtype=np.int32))
+
+    sup_lo = np.concatenate(all_lo).astype(np.float32)
+    sup_hi = np.concatenate(all_hi).astype(np.float32)
+    inst_ids = np.concatenate(all_inst)
+    sids = np.concatenate(all_sid)
+    S = sup_lo.shape[0]
+    swp_lo, swp_hi = _pad_sweep(sup_lo, sup_hi)
+    S_pad = swp_lo.shape[1]
+    inst_pad = np.zeros(S_pad, np.int32)
+    inst_pad[:S] = inst_ids
+    # re-index childs/blocks so entry s of the world table maps to its BLAS
+    # rows: keep shared storage, add an indirection via sup_blas
+    sup_blas = np.zeros(S_pad, np.int32)
+    sup_blas[:S] = sids
+    n_tris = sum(len(b[0]) for b in blas_list)
+
+    return Hierarchy(
+        swp_lo=jnp.asarray(swp_lo, Float), swp_hi=jnp.asarray(swp_hi, Float),
+        sup_inst=jnp.asarray(inst_pad, Int),
+        childs=jnp.asarray(childs, Float),
+        blocks=jnp.asarray(blocks, Float),
+        inst_inv=jnp.asarray(np.stack(inv_list), Float),
+        inst_fwd=jnp.asarray(np.stack(fwd_list), Float),
+        sup_blas=jnp.asarray(sup_blas, Int),
+        n_supers=S, n_tris=int(n_tris), indirect=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traversal
+# ---------------------------------------------------------------------------
+
 def _nearest_super(h: Hierarchy, o, inv_d, tmin, t_best, gate_t, gate_c):
-    """Lex-gated argmin of super entry-t: chunked dense slab sweep."""
+    """Lex-gated argmin of super entry-t: chunked dense per-axis sweep.
+
+    Per-axis (N, CH) arithmetic on the transposed (3, S_pad) tables keeps
+    intermediates 2-D and fusable (the round-2 (N, CH, 3) form forced ~6
+    materialized 100 MB transients per chunk)."""
     N = o.shape[0]
-    S = h.n_supers
-    CH = min(256, max(8, S))
-    n_chunks = -(-S // CH)
-    pad_S = n_chunks * CH
-    # degenerate far-away pad box: min==max -> the slab test rejects it for
-    # every ray direction (an inverted-box pad would "hit" everything)
-    lo = jnp.pad(h.sup_lo, ((0, pad_S - S), (0, 0)), constant_values=1e30)
-    hi = jnp.pad(h.sup_hi, ((0, pad_S - S), (0, 0)), constant_values=1e30)
+    S_pad = h.swp_lo.shape[1]
+    CH = min(SWEEP_CHUNK, S_pad)
+    n_chunks = -(-S_pad // CH)
+
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
 
     def chunk_body(kk, carry):
         best_e, best_c = carry
-        sl = jax.lax.dynamic_slice_in_dim(lo, kk * CH, CH, 0)
-        sh = jax.lax.dynamic_slice_in_dim(hi, kk * CH, CH, 0)
-        t0 = (sl[None] - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (sh[None] - o[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
-        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_best[:, None])
-        cid = kk * CH + jax.lax.broadcasted_iota(Int, (N, CH), 1)
-        okm = (tn <= tf) & (tn < 1e30) & (
+        # overlapping final window is harmless: candidates carry absolute
+        # ids, and a min-reduce is idempotent under duplicates
+        off = jnp.minimum(kk * CH, S_pad - CH)
+        lo = jax.lax.dynamic_slice_in_dim(h.swp_lo, off, CH, 1)
+        hi = jax.lax.dynamic_slice_in_dim(h.swp_hi, off, CH, 1)
+        ax0 = (lo[0][None, :] - ox) * ix
+        ax1 = (hi[0][None, :] - ox) * ix
+        ay0 = (lo[1][None, :] - oy) * iy
+        ay1 = (hi[1][None, :] - oy) * iy
+        az0 = (lo[2][None, :] - oz) * iz
+        az1 = (hi[2][None, :] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax0, ax1), jnp.minimum(ay0, ay1)),
+            jnp.maximum(jnp.minimum(az0, az1), tmin[:, None]))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax0, ax1), jnp.maximum(ay0, ay1)),
+            jnp.minimum(jnp.maximum(az0, az1), t_best[:, None]))
+        cid = off + jax.lax.broadcasted_iota(Int, (N, CH), 1)
+        okm = (tn <= tf) & (tn < FAR) & (
             (tn > gate_t[:, None])
             | ((tn == gate_t[:, None]) & (cid > gate_c[:, None]))
         )
         e = jnp.where(okm, tn, BIG)
         emin = jnp.min(e, axis=1)
-        first = jnp.argmax(e == emin[:, None], axis=1)
-        cmin = kk * CH + first
+        # id pick via masked min over the existing id plane (argmax lowers
+        # to an iota+reduce fusion that measured 'hot' in traces)
+        idm = jnp.min(jnp.where(e == emin[:, None], cid, IBIG), axis=1)
         take = emin < best_e
         return (jnp.where(take, emin, best_e),
-                jnp.where(take, cmin.astype(Int), best_c))
+                jnp.where(take, idm, best_c))
 
     init = (jnp.full((N,), BIG, Float), jnp.zeros((N,), Int))
+    if n_chunks == 1:
+        return chunk_body(0, init)
     return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
 
-CHUNK_RAYS = 32768  # rays per compaction slice (bounds gather transients)
-K_INNER = 16        # traversal steps per slice visit (amortizes compaction)
-
-
-def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
-    """Closest-hit (or any-hit) march over the two-level hierarchy.
-
-    o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
-    of flat (N,) arrays; t is the world-space ray parameter.
-
-    **Compaction driver**: lockstep marching wastes gather bandwidth on
-    finished lanes (measured ~30x on incoherent 1M-triangle loads — the
-    while-loop runs to the straggler's step count while every lane keeps
-    paying the (lane, LEAF, 9) block gather).  Instead, traversal is a
-    resumable one-step state machine; each driver round stably compacts
-    still-active rays to the front, takes the first ``CHUNK_RAYS`` of
-    them, and advances only those by ``K_INNER`` steps.  Total gather
-    traffic approaches the sum of per-ray work rather than
-    ``N x max_steps`` — the TPU answer to per-lane traversal divergence.
-    """
-    N = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (N,))
-    return _intersect_compact(h, o, d, tmin, tmax, any_hit=any_hit)
-
-
-def _make_state(h, o, d, tmin, tmax):
+def _make_state(h, o, d, tmin, tmax, active_in=None):
     N = o.shape[0]
     d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     inv_d = 1.0 / d_safe
     # root-AABB prepass: rays that miss the whole hierarchy never enter the
-    # marching machinery (each would cost a full slice step otherwise)
-    root_lo = jnp.min(h.sup_lo, axis=0)
-    root_hi = jnp.max(h.sup_hi, axis=0)
+    # marching machinery (each would cost a full round slot otherwise)
+    S = h.n_supers
+    root_lo = jnp.min(h.swp_lo[:, :S], axis=1)
+    root_hi = jnp.max(h.swp_hi[:, :S], axis=1)
     t0 = (root_lo[None] - o) * inv_d
     t1 = (root_hi[None] - o) * inv_d
     tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin)
     tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax)
     hits_root = tn <= tf
+    if active_in is not None:
+        hits_root = hits_root & active_in
     return dict(
-        o=o, d=d, inv_d=inv_d, tmin=tmin,
+        o=o, d=d, tmin=tmin,
         idx=jnp.arange(N, dtype=Int),
         t=jnp.minimum(jnp.full((N,), BIG, Float), tmax),
         u=jnp.zeros((N,), Float), v=jnp.zeros((N,), Float),
@@ -238,27 +358,39 @@ def _make_state(h, o, d, tmin, tmax):
 
 
 def _compute_centry(h, sidc, ol, invl, tmin, t_b):
-    """Child-cluster entry distances for each lane's current super."""
-    clo = h.ch_lo[sidc]
-    chi = h.ch_hi[sidc]
-    t0 = (clo - ol[:, None, :]) * invl[:, None, :]
-    t1 = (chi - ol[:, None, :]) * invl[:, None, :]
-    ctn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
-    ctf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_b[:, None])
-    return jnp.where(ctn <= ctf, ctn, BIG)
+    """Child-cluster entry distances for each lane's current super: one
+    packed (CROW,) row gather + componentwise (M, SUP) slab tests."""
+    crow_idx = h.sup_blas[sidc] if h.indirect else sidc
+    crow = h.childs[jnp.clip(crow_idx, 0, h.childs.shape[0] - 1)]
+    lox = crow[:, 0 * SUP : 1 * SUP]
+    loy = crow[:, 1 * SUP : 2 * SUP]
+    loz = crow[:, 2 * SUP : 3 * SUP]
+    hix = crow[:, 3 * SUP : 4 * SUP]
+    hiy = crow[:, 4 * SUP : 5 * SUP]
+    hiz = crow[:, 5 * SUP : 6 * SUP]
+    ax0 = (lox - ol[:, 0:1]) * invl[:, 0:1]
+    ax1 = (hix - ol[:, 0:1]) * invl[:, 0:1]
+    ay0 = (loy - ol[:, 1:2]) * invl[:, 1:2]
+    ay1 = (hiy - ol[:, 1:2]) * invl[:, 1:2]
+    az0 = (loz - ol[:, 2:3]) * invl[:, 2:3]
+    az1 = (hiz - ol[:, 2:3]) * invl[:, 2:3]
+    ctn = jnp.maximum(
+        jnp.maximum(jnp.minimum(ax0, ax1), jnp.minimum(ay0, ay1)),
+        jnp.maximum(jnp.minimum(az0, az1), tmin[:, None]))
+    ctf = jnp.minimum(
+        jnp.minimum(jnp.maximum(ax0, ax1), jnp.maximum(ay0, ay1)),
+        jnp.minimum(jnp.maximum(az0, az1), t_b[:, None]))
+    return jnp.where((ctn <= ctf) & (ctn < FAR), ctn, BIG)
 
 
-def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
+def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh):
     """Advance every lane of a state slice by one traversal step.
 
     ``centry_in``: (M, SUP) cached child entries, valid for lanes that kept
     their super since the cache was filled; ``fresh=True`` (round entry)
-    recomputes it for every lane, otherwise only super-switch lanes do —
-    the cache lives only across one slice visit, NOT in the compaction
-    state (carrying it through the permutes dominated the round cost).
-    """
+    recomputes it for every lane, otherwise only super-switch lanes do."""
     M = st["o"].shape[0]
-    o, d, inv_d, tmin = st["o"], st["d"], st["inv_d"], st["tmin"]
+    o, d, tmin = st["o"], st["d"], st["tmin"]
     instanced = h.inst_inv.shape[0] > 1
     sup_iota = jax.lax.broadcasted_iota(Int, (M, SUP), 1)
 
@@ -266,8 +398,7 @@ def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
     t_b = st["t"]
     need = active & ~st["has_super"]
 
-    # --- super advance for lanes without a current super (skipped entirely
-    # on steps where every lane is mid-super: the S-sweep costs ~1 ms) -----
+    # --- super advance for lanes without a current super -------------------
     def do_sweep(_):
         return _nearest_super(h, o, inv_d, tmin, t_b, st["sg_t"], st["sg_c"])
 
@@ -283,8 +414,8 @@ def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
 
     # instance-local ray (t-preserving: direction not renormalized)
     if instanced:
-        inst = h.sup_inst[sidc]
-        Mx = h.inst_inv[inst]
+        inst = h.sup_inst[jnp.clip(sidc, 0, h.sup_inst.shape[0] - 1)]
+        Mx = h.inst_inv[jnp.clip(inst, 0, h.inst_inv.shape[0] - 1)]
         ol = jnp.einsum("nij,nj->ni", Mx[:, :, :3], o) + Mx[:, :, 3]
         dl = jnp.einsum("nij,nj->ni", Mx[:, :, :3], d)
         dl_safe = jnp.where(jnp.abs(dl) < 1e-20,
@@ -307,49 +438,63 @@ def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
     ig_c = jnp.where(got, -1, st["ig_c"])
     has_super = (st["has_super"] | got) & active
 
-    # --- one child-cluster test ------------------------------------------
+    # --- one child-cluster test (packed row gather + dense MT) -------------
     gated = (
         (centry > ig_t[:, None])
         | ((centry == ig_t[:, None]) & (sup_iota > ig_c[:, None]))
     )
     e = jnp.where(gated & (centry <= t_b[:, None]), centry, BIG)
     emin = jnp.min(e, axis=1)
-    kk = jnp.argmax(e == emin[:, None], axis=1)
+    kk = jnp.min(jnp.where(e == emin[:, None], sup_iota, IBIG), axis=1)
+    kk = jnp.where(emin < BIG, kk, 0)
     ihas = (emin < BIG) & has_super
-    cid = sidc * SUP + jnp.where(ihas, kk, 0)
+    blk_base = h.sup_blas[sidc] if h.indirect else sidc
+    cid = jnp.clip(blk_base * SUP + jnp.where(ihas, kk, 0), 0,
+                   h.blocks.shape[0] - 1)
 
-    blk = h.tris[cid]
-    vmask = h.valid[cid] > 0
-    pids = h.prim[cid]
-    ox = ol[:, None, :]
-    dx = dl[:, None, :]
-    tp0 = blk[..., 0:3]
-    te1 = blk[..., 3:6]
-    te2 = blk[..., 6:9]
-    pv = jnp.cross(dx, te2)
-    det = jnp.sum(te1 * pv, -1)
+    row = h.blocks[cid]                         # (M, ROW) one packed gather
+    comp = [row[:, c * LEAF : (c + 1) * LEAF] for c in range(9)]
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = comp
+    pids = jax.lax.bitcast_convert_type(row[:, LEAF * 9 :], Int)
+
+    # componentwise Moeller-Trumbore on (M, LEAF) planes (3-D intermediates
+    # defeat XLA fusion; 2-D planes stay in registers)
+    olx, oly, olz = ol[:, 0:1], ol[:, 1:2], ol[:, 2:3]
+    dlx, dly, dlz = dl[:, 0:1], dl[:, 1:2], dl[:, 2:3]
+    pvx = dly * e2z - dlz * e2y
+    pvy = dlz * e2x - dlx * e2z
+    pvz = dlx * e2y - dly * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
     inv_det = jnp.where(jnp.abs(det) > 1e-12,
                         1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    tvv = ox - tp0
-    uu = jnp.sum(tvv * pv, -1) * inv_det
-    qv = jnp.cross(tvv, te1)
-    vv = jnp.sum(dx * qv, -1) * inv_det
-    tt = jnp.sum(te2 * qv, -1) * inv_det
+    tvx = olx - p0x
+    tvy = oly - p0y
+    tvz = olz - p0z
+    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    vv = (dlx * qvx + dly * qvy + dlz * qvz) * inv_det
+    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hitm = (
-        vmask & (jnp.abs(det) > 1e-12)
+        (jnp.abs(det) > 1e-12)
         & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
         & (tt > tmin[:, None]) & (tt < t_b[:, None]) & ihas[:, None]
     )
     tm = jnp.where(hitm, tt, BIG)
-    kbest = jnp.argmin(tm, axis=1)
     tnew = jnp.min(tm, axis=1)
     better = tnew < t_b
-    kb = kbest[:, None]
-    pick = lambda a: jnp.take_along_axis(a, kb, axis=1)[:, 0]
+    # tie-break via masked min over the lane iota (no cumsum/argmin: both
+    # lower to expensive reduce-window / iota-reduce fusions)
+    lane = jax.lax.broadcasted_iota(Int, tm.shape, 1)
+    kpick = jnp.min(jnp.where(tm == tnew[:, None], lane, IBIG), axis=1)
+    oh = (lane == jnp.where(better, kpick, -1)[:, None]).astype(Float)
+    pick = lambda a: jnp.sum(a * oh, axis=1)
     t_b = jnp.where(better, tnew, t_b)
     u_b = jnp.where(better, pick(uu), st["u"])
     v_b = jnp.where(better, pick(vv), st["v"])
-    p_b = jnp.where(better, pick(pids), st["prim"])
+    p_b = jnp.where(better, jnp.sum(pids * oh.astype(Int), axis=1),
+                    st["prim"])
     i_b = jnp.where(better, inst, st["inst"])
     found = st["found"] | better
 
@@ -360,7 +505,7 @@ def _one_step(h: Hierarchy, st, centry_in, any_hit, fresh):
         active = active & ~found
 
     return dict(
-        o=o, d=d, inv_d=inv_d, tmin=tmin, idx=st["idx"],
+        o=o, d=d, tmin=tmin, idx=st["idx"],
         t=t_b, u=u_b, v=v_b, prim=p_b, inst=i_b, found=found,
         sg_t=sg_t, sg_c=sg_c, sidc=sidc,
         ig_t=ig_t, ig_c=ig_c, has_super=has_super, active=active,
@@ -372,179 +517,141 @@ _I_KEYS = ("idx", "prim", "inst", "sg_c", "sidc", "ig_c")
 _B_KEYS = ("found", "has_super", "active")
 
 
-def _permute_state(state, perm):
-    """Row-permute the whole state via two packed (N, F) gathers."""
-    fmat = jnp.concatenate(
-        [state["o"], state["d"], state["inv_d"]]
-        + [state[k][:, None] for k in _F_KEYS], axis=1)
-    imat = jnp.stack(
-        [state[k] for k in _I_KEYS]
-        + [state[k].astype(Int) for k in _B_KEYS], axis=1)
-    fmat = fmat[perm]
-    imat = imat[perm]
-    out = dict(
-        o=fmat[:, 0:3], d=fmat[:, 3:6], inv_d=fmat[:, 6:9])
-    for j, k in enumerate(_F_KEYS):
-        out[k] = fmat[:, 9 + j]
-    for j, k in enumerate(_I_KEYS):
-        out[k] = imat[:, j]
-    for j, k in enumerate(_B_KEYS):
-        out[k] = imat[:, len(_I_KEYS) + j] > 0
+def _pack_state(state):
+    """All state as ONE (N, 21) f32 matrix (ints/bools bitcast), so the
+    compaction permute is a single wide row gather."""
+    cols = ([state["o"], state["d"]]
+            + [state[k][:, None] for k in _F_KEYS]
+            + [jax.lax.bitcast_convert_type(state[k], Float)[:, None]
+               for k in _I_KEYS]
+            + [jax.lax.bitcast_convert_type(
+                state[k].astype(Int), Float)[:, None] for k in _B_KEYS])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_state(P):
+    out = dict(o=P[:, 0:3], d=P[:, 3:6])
+    c = 6
+    for k in _F_KEYS:
+        out[k] = P[:, c]
+        c += 1
+    for k in _I_KEYS:
+        out[k] = jax.lax.bitcast_convert_type(P[:, c], Int)
+        c += 1
+    for k in _B_KEYS:
+        out[k] = jax.lax.bitcast_convert_type(P[:, c], Int) > 0
+        c += 1
     return out
 
 
-def _intersect_compact(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
-    N = o.shape[0]
-    state = _make_state(h, o, d, tmin, tmax)
-    M = min(CHUNK_RAYS, N)
-
-    def cond(state):
-        return jnp.any(state["active"])
-
-    def body(state):
-        # stable compaction: active rays to the front.  The permute runs on
-        # TWO packed matrices — permuting the ~20 state arrays separately
-        # is 1-D gathers of 4-byte rows, which measured ~3 ms EACH on TPU;
-        # two wide row-gathers move the same bytes in ~1 ms total.
-        perm = jnp.argsort(~state["active"], stable=True)
-        state = _permute_state(state, perm)
-        front = jax.tree.map(lambda a: a[:M], state)
-        # round entry: fill the slice-local child-entry cache once
-        front, centry = _one_step(h, front, None, any_hit, fresh=True)
-        front, _ = jax.lax.fori_loop(
-            0, K_INNER - 1,
-            lambda i, c: _one_step(h, c[0], c[1], any_hit, fresh=False),
-            (front, centry))
-        return jax.tree.map(
-            lambda a, f: jax.lax.dynamic_update_slice_in_dim(a, f, 0, 0),
-            state, front)
-
-    state = jax.lax.while_loop(cond, body, state)
-    # restore original ray order
-    inv = jnp.argsort(state["idx"])
-    g = lambda a: a[inv]
-    return dict(t=g(state["t"]), u=g(state["u"]), v=g(state["v"]),
-                prim=g(state["prim"]), inst=g(state["inst"]),
-                found=g(state["found"]))
-
-
-def _intersect_chunk(h: Hierarchy, o, d, tmin, tmax, any_hit=False):
-    N = o.shape[0]
+def _run_front(h, front, any_hit, k_inner):
+    d = front["d"]
     d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     inv_d = 1.0 / d_safe
-    instanced = h.inst_inv.shape[0] > 1
-    sup_iota = jax.lax.broadcasted_iota(Int, (N, SUP), 1)
+    front, centry = _one_step(h, front, inv_d, None, any_hit, fresh=True)
+    if k_inner > 1:
+        front, _ = jax.lax.fori_loop(
+            0, k_inner - 1,
+            lambda i, c: _one_step(h, c[0], inv_d, c[1], any_hit, fresh=False),
+            (front, centry))
+    return front
 
-    def outer_body(st):
-        (t_b, u_b, v_b, p_b, i_b, found, sg_t, sg_c, active) = st
-        se, sid = _nearest_super(h, o, inv_d, tmin, t_b, sg_t, sg_c)
-        has = (se < BIG) & active
-        sidc = jnp.where(has, sid, 0)
 
-        # transform the ray into instance-local space (t-preserving:
-        # direction is NOT renormalized)
-        if instanced:
-            inst = h.sup_inst[sidc]
-            M = h.inst_inv[inst]  # (N, 3, 4)
-            ol = jnp.einsum("nij,nj->ni", M[:, :, :3], o) + M[:, :, 3]
-            dl = jnp.einsum("nij,nj->ni", M[:, :, :3], d)
-            dl_safe = jnp.where(jnp.abs(dl) < 1e-20,
-                                jnp.where(dl < 0, -1e-20, 1e-20), dl)
-            invl = 1.0 / dl_safe
-        else:
-            inst = jnp.zeros((N,), Int)
-            ol, dl, invl = o, d, inv_d
+def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
+                        active=None, front=FRONT, k_inner=K_INNER):
+    """Closest-hit (or any-hit) march over the two-level hierarchy.
 
-        clo = h.ch_lo[sidc]  # (N, SUP, 3)
-        chi = h.ch_hi[sidc]
-        t0 = (clo - ol[:, None, :]) * invl[:, None, :]
-        t1 = (chi - ol[:, None, :]) * invl[:, None, :]
-        ctn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin[:, None])
-        ctf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax[:, None])
-        centry = jnp.where(ctn <= ctf, ctn, BIG)  # (N, SUP)
+    o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
+    of flat (N,) arrays; t is the world-space ray parameter.  ``active``
+    optionally masks lanes off (sparse bounce wavefronts retire instantly
+    instead of paying traversal rounds).
 
-        def inner_body(ist):
-            (t_b, u_b, v_b, p_b, i_b, found, ig_t, ig_c, iact) = ist
-            gated = (
-                (centry > ig_t[:, None])
-                | ((centry == ig_t[:, None]) & (sup_iota > ig_c[:, None]))
-            )
-            e = jnp.where(gated & (centry <= t_b[:, None]), centry, BIG)
-            emin = jnp.min(e, axis=1)
-            kk = jnp.argmax(e == emin[:, None], axis=1)
-            ihas = (emin < BIG) & iact
-            cid = sidc * SUP + jnp.where(ihas, kk, 0)
+    **Compaction driver**: lockstep marching wastes gather bandwidth on
+    finished lanes.  Each round stably compacts still-active rays to the
+    front (argsort + one packed row-gather permute), and advances only the
+    first ``front`` of them by ``k_inner`` steps.  Measured per-ray visit
+    counts are tiny (mean ~0.6-2 on the 1.1M bench bunny), so rounds are
+    short and most lanes retire within one round.
+    """
+    N = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (N,))
+    state = _make_state(h, o, d, tmin, tmax, active_in=active)
 
-            blk = h.tris[cid]     # (N, LEAF, 9)
-            vmask = h.valid[cid] > 0
-            pids = h.prim[cid]
+    if N <= front:
+        def cond(c):
+            return jnp.any(c["active"])
 
-            ox = ol[:, None, :]
-            dx = dl[:, None, :]
-            tp0 = blk[..., 0:3]
-            te1 = blk[..., 3:6]
-            te2 = blk[..., 6:9]
-            pv = jnp.cross(dx, te2)
-            det = jnp.sum(te1 * pv, -1)
-            inv_det = jnp.where(jnp.abs(det) > 1e-12,
-                                1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-            tvv = ox - tp0
-            uu = jnp.sum(tvv * pv, -1) * inv_det
-            qv = jnp.cross(tvv, te1)
-            vv = jnp.sum(dx * qv, -1) * inv_det
-            tt = jnp.sum(te2 * qv, -1) * inv_det
-            hitm = (
-                vmask & (jnp.abs(det) > 1e-12)
-                & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
-                & (tt > tmin[:, None]) & (tt < t_b[:, None])
-                & (tt < tmax[:, None]) & ihas[:, None]
-            )
-            tm = jnp.where(hitm, tt, BIG)
-            kbest = jnp.argmin(tm, axis=1)
-            tnew = jnp.min(tm, axis=1)
-            better = tnew < t_b
-            onehot = jax.lax.broadcasted_iota(Int, tm.shape, 1) == kbest[:, None]
-            pick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=1)
-            t_b = jnp.where(better, tnew, t_b)
-            u_b = jnp.where(better, pick(uu), u_b)
-            v_b = jnp.where(better, pick(vv), v_b)
-            p_b = jnp.where(better, pick(pids), p_b)
-            i_b = jnp.where(better, inst, i_b)
-            found = found | better
-            if any_hit:
-                iact = iact & ihas & ~found
-            else:
-                iact = iact & ihas
-            return (t_b, u_b, v_b, p_b, i_b, found,
-                    jnp.where(ihas, emin, ig_t),
-                    jnp.where(ihas, kk, ig_c), iact)
+        def body(c):
+            return _run_front(h, c, any_hit, k_inner)
 
-        def inner_cond(ist):
-            return jnp.any(ist[8])
+        state = jax.lax.while_loop(cond, body, state)
+        return dict(t=state["t"], u=state["u"], v=state["v"],
+                    prim=state["prim"], inst=state["inst"],
+                    found=state["found"])
 
-        iinit = (t_b, u_b, v_b, p_b, i_b, found,
-                 jnp.full((N,), -BIG, Float), jnp.full((N,), -1, Int), has)
-        (t_b, u_b, v_b, p_b, i_b, found, _it, _ic, _ia) = jax.lax.while_loop(
-            inner_cond, inner_body, iinit)
+    # --- tail-refill driver -------------------------------------------------
+    # One full-size compaction up front; afterwards every round touches only
+    # the M-sized front: run k_inner steps, scatter retired lanes' results
+    # into the (N, 6) result matrix, compact survivors within the front and
+    # refill freed slots from the pending tail of the round-0-sorted state.
+    # (A chunked-scan variant without per-round compaction measured 3-5x
+    # slower: each chunk's while-loop runs to its own straggler depth.)
+    M = front
+    P = _pack_state(state)
+    perm0 = jnp.argsort(~state["active"], stable=True)
+    P = P[perm0]
+    n_act = jnp.sum(state["active"].astype(Int))
 
-        if any_hit:
-            active = active & has & ~found
-        else:
-            active = active & has
-        return (t_b, u_b, v_b, p_b, i_b, found,
-                jnp.where(has, se, sg_t), jnp.where(has, sid, sg_c), active)
+    # result defaults for lanes that never do work (missed root / masked)
+    res = jnp.concatenate([
+        jnp.minimum(jnp.full((N, 1), BIG, Float), tmax[:, None]),
+        jnp.zeros((N, 2), Float),
+        jnp.zeros((N, 3), Float),  # prim, inst, found bitcast slots (0)
+    ], axis=1)
 
-    def outer_cond(st):
-        return jnp.any(st[8])
+    slot = jnp.arange(M, dtype=Int)
 
-    init = (
-        jnp.minimum(jnp.full((N,), BIG, Float), tmax),
-        jnp.zeros((N,), Float), jnp.zeros((N,), Float),
-        jnp.zeros((N,), Int), jnp.zeros((N,), Int),
-        jnp.zeros((N,), bool),
-        jnp.full((N,), -BIG, Float), jnp.full((N,), -1, Int),
-        jnp.ones((N,), bool),
+    def res_rows(fr):
+        return jnp.concatenate([
+            fr["t"][:, None], fr["u"][:, None], fr["v"][:, None],
+            jax.lax.bitcast_convert_type(fr["prim"], Float)[:, None],
+            jax.lax.bitcast_convert_type(fr["inst"], Float)[:, None],
+            jax.lax.bitcast_convert_type(
+                fr["found"].astype(Int), Float)[:, None],
+        ], axis=1)
+
+    def cond(carry):
+        fr, tail, res = carry
+        return jnp.any(fr["active"]) | (tail < n_act)
+
+    def body(carry):
+        fr, tail, res = carry
+        fr = _run_front(h, fr, any_hit, k_inner)
+        retired = ~fr["active"]
+        # persist retired lanes (idempotent for stale duplicates: inactive
+        # lanes are frozen by the step function)
+        idx_w = jnp.where(retired, fr["idx"], N)
+        res = res.at[idx_w].set(res_rows(fr), mode="drop")
+        # survivors to the front of the front
+        permf = jnp.argsort(retired, stable=True)
+        Pf = _pack_state(fr)[permf]
+        n_surv = M - jnp.sum(retired.astype(Int))
+        src = jnp.clip(tail + slot - n_surv, 0, N - 1)
+        take_new = (slot >= n_surv) & (tail + slot - n_surv < n_act)
+        Pf = jnp.where(take_new[:, None], P[src], Pf)
+        fr2 = _unpack_state(Pf)
+        fr2["active"] = fr2["active"] & ((slot < n_surv) | take_new)
+        tail2 = tail + jnp.maximum(
+            0, jnp.minimum(M - n_surv, n_act - tail))
+        return fr2, tail2, res
+
+    fr0 = _unpack_state(P[:M])
+    carry = (fr0, jnp.asarray(M, Int), res)
+    fr, tail, res = jax.lax.while_loop(cond, body, carry)
+    return dict(
+        t=res[:, 0], u=res[:, 1], v=res[:, 2],
+        prim=jax.lax.bitcast_convert_type(res[:, 3], Int),
+        inst=jax.lax.bitcast_convert_type(res[:, 4], Int),
+        found=jax.lax.bitcast_convert_type(res[:, 5], Int) > 0,
     )
-    t_b, u_b, v_b, p_b, i_b, found, _gt, _gc, _a = jax.lax.while_loop(
-        outer_cond, outer_body, init)
-    return dict(t=t_b, u=u_b, v=v_b, prim=p_b, inst=i_b, found=found)

@@ -285,19 +285,21 @@ def intersect_bvh(bvh: FlatBVH, geom: Geometry, o, d, tmin, tmax, any_hit=False)
     return st  # raw dict; callers merge with analytic prims
 
 
-def _dispatch_clusters(clusters, o, d, tmin, tmax, any_hit=False):
+def _dispatch_clusters(clusters, o, d, tmin, tmax, any_hit=False,
+                       active=None):
     """Route to the two-level hierarchy or the legacy single-level marcher."""
     from .hierarchy import Hierarchy, intersect_hierarchy
 
     if isinstance(clusters, Hierarchy):
-        return intersect_hierarchy(clusters, o, d, tmin, tmax, any_hit=any_hit)
+        return intersect_hierarchy(clusters, o, d, tmin, tmax,
+                                   any_hit=any_hit, active=active)
     from .cluster import intersect_clusters
 
     return intersect_clusters(clusters, o, d, tmin, tmax, any_hit=any_hit)
 
 
 def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
-              clusters=None) -> Hit:
+              clusters=None, active=None) -> Hit:
     """Closest-hit entry point: brute force for small soups; on big scenes
     cluster marching (TPU) or the threaded BVH (CPU); analytic prims always
     tested."""
@@ -307,7 +309,8 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
     R = o.shape[0]
     if clusters is not None and _use_pallas():
         sg = jax.lax.stop_gradient
-        st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax))
+        st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
+                                active=active)
     else:
         st = intersect_bvh(bvh, geom, o, d, tmin, tmax)
     ti, tbest, tvalid = st["prim"], st["t"], st["found"]
@@ -409,18 +412,19 @@ def _disk_best_v(geom, o, d, tmin, tmax):
 
 
 def intersect_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
-                clusters=None) -> Hit:
+                clusters=None, active=None) -> Hit:
     """Closest-hit over component-SoA rays (o, d: V3 of flat (N,) arrays).
 
     Canonical hot-path entry: on TPU the ray components feed the Pallas
     kernel with zero relayout; CPU / large-scene paths stack to (N,3) and
-    reuse the generic code (correctness only)."""
+    reuse the generic code (correctness only).  ``active`` masks lanes off
+    on the hierarchy path (sparse bounce wavefronts)."""
     from ..core import v3 as v
 
     small = geom.n_tris <= BRUTE_FORCE_MAX
     if not (_use_pallas() and small and clusters is None):
         return intersect(geom, o.to_array(), d.to_array(), tmin, tmax,
-                         bvh=bvh, clusters=clusters)
+                         bvh=bvh, clusters=clusters, active=active)
 
     from . import pallas_intersect as pk
 
@@ -467,14 +471,14 @@ def intersect_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
 
 
 def occluded_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
-               clusters=None) -> jax.Array:
+               clusters=None, active=None) -> jax.Array:
     """Any-hit over component-SoA rays."""
     from ..core import v3 as v
 
     small = geom.n_tris <= BRUTE_FORCE_MAX
     if not (_use_pallas() and small and clusters is None):
         return occluded(geom, o.to_array(), d.to_array(), tmin, tmax,
-                        bvh=bvh, clusters=clusters)
+                        bvh=bvh, clusters=clusters, active=active)
 
     from . import pallas_intersect as pk
 
@@ -492,13 +496,13 @@ def occluded_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
 
 
 def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
-             clusters=None) -> jax.Array:
+             clusters=None, active=None) -> jax.Array:
     """Any-hit (shadow ray) query -> bool per ray."""
     R = o.shape[0]
     if clusters is not None and _use_pallas() and geom.n_tris > BRUTE_FORCE_MAX:
         sg = jax.lax.stop_gradient
         st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
-                                any_hit=True)
+                                any_hit=True, active=active)
         blocked = st["found"]
         o_b, d_b = o[:, None, :], d[:, None, :]
         tmin_b = jnp.broadcast_to(jnp.asarray(tmin, Float), (R,))[:, None]

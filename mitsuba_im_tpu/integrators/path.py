@@ -139,7 +139,8 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         pdf_bsdf_nee = bsdf_pdf_v(bparams, st["wi_local"], wo_local_nee)
         can_nee = act & (ds.pdf > 0) & (f_nee.sum() > 0)
         occ = scene.occluded_v(
-            st["p"], ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON)
+            st["p"], ds.d, EPSILON, ds.dist * (1.0 - SHADOW_EPSILON),
+            active=can_nee,
         )
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_bsdf_nee))
         contrib = st["thr"] * ds.value * f_nee * safe_div(w_nee, ds.pdf)
@@ -161,7 +162,7 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
 
         # extend the path
         o2 = st["p"]
-        hit2 = scene.ray_intersect_v(o2, wo_world)
+        hit2 = scene.ray_intersect_v(o2, wo_world, active=act2)
         it2 = scene.interaction_v(o2, wo_world, hit2)
 
         # emitter hit / environment with MIS (path.cpp:249-266)

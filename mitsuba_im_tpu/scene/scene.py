@@ -132,17 +132,20 @@ class Scene:
         return it.replace(ns=ns, ss=ss, ts_=ts, wi_local=wi_local)
 
     # -- component-SoA queries (canonical for the wavefront hot path) ------
-    def ray_intersect_v(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:
+    def ray_intersect_v(self, o, d, tmin=EPSILON, tmax=1e30,
+                        active=None) -> Hit:
         """o, d: V3 of flat (N,) components."""
         return isect.intersect_v(
             self.geom, o, d, tmin, tmax,
             bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
+            active=active,
         )
 
-    def occluded_v(self, o, d, tmin, tmax) -> jax.Array:
+    def occluded_v(self, o, d, tmin, tmax, active=None) -> jax.Array:
         return isect.occluded_v(
             self.geom, o, d, tmin, tmax,
             bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
+            active=active,
         )
 
     def interaction_v(self, o, d, hit: Hit):

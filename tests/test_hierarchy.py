@@ -40,6 +40,52 @@ class TestHierarchy:
         np.testing.assert_array_equal(
             np.asarray(st["prim"])[m], np.asarray(hb.prim)[m])
 
+    def test_tail_refill_driver(self, rng):
+        """Force the large-N compaction driver (front < N) and compare with
+        the lockstep path and brute force."""
+        p0, e1, e2 = random_tri_soup(5000, rng)
+        g = make_geom(p0, e1, e2)
+        h = hy.build_hierarchy(p0, e1, e2)
+        o, d = _rand_rays(rng, 1024)
+        hb = isect.intersect_brute(g, o, d, 1e-4, 1e30)
+        st = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30,
+                                    front=128, k_inner=3)
+        hitb = np.asarray(hb.kind == geo.KIND_TRI)
+        np.testing.assert_array_equal(hitb, np.asarray(st["found"]))
+        m = hitb
+        np.testing.assert_allclose(
+            np.asarray(st["t"])[m], np.asarray(hb.t)[m], rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(st["prim"])[m], np.asarray(hb.prim)[m])
+        # any-hit through the same driver
+        occ_b = np.asarray(isect.intersect_brute(g, o, d, 1e-4, 5.0).kind
+                           != geo.KIND_NONE)
+        sta = hy.intersect_hierarchy(h, o, d, 1e-4, 5.0, any_hit=True,
+                                     front=128, k_inner=3)
+        np.testing.assert_array_equal(occ_b, np.asarray(sta["found"]))
+
+    def test_active_mask(self, rng):
+        """Masked-off lanes retire with no-hit results at zero cost."""
+        p0, e1, e2 = random_tri_soup(3000, rng)
+        h = hy.build_hierarchy(p0, e1, e2)
+        o, d = _rand_rays(rng, 512)
+        act = jnp.asarray(rng.uniform(size=512) < 0.5)
+        st_all = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30)
+        st_m = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30, active=act)
+        am = np.asarray(act)
+        np.testing.assert_array_equal(
+            np.asarray(st_m["found"])[am], np.asarray(st_all["found"])[am])
+        assert not np.asarray(st_m["found"])[~am].any()
+        # and through the refill driver
+        st_m2 = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30, active=act,
+                                       front=128, k_inner=2)
+        np.testing.assert_array_equal(
+            np.asarray(st_m2["found"])[am], np.asarray(st_all["found"])[am])
+        np.testing.assert_allclose(
+            np.asarray(st_m2["t"])[am & np.asarray(st_all["found"])],
+            np.asarray(st_all["t"])[am & np.asarray(st_all["found"])],
+            rtol=1e-5)
+
     def test_anyhit(self, rng):
         p0, e1, e2 = random_tri_soup(3000, rng)
         g = make_geom(p0, e1, e2)
