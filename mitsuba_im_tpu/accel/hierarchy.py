@@ -191,8 +191,8 @@ def build_hierarchy_instanced(blas_list, instances) -> Hierarchy:
     """Shared-BLAS instancing (``/root/reference/src/shapes/instance.cpp:115``).
 
     blas_list: list of (p0, e1, e2, tri_ids) triangle soups in local space.
-    instances: list of (blas_index, to_world (3,4), prim_offset_unused) —
-    each instance contributes its BLAS's supers with world-space swept AABBs
+    instances: list of (blas_index, to_world (3,4)) — each instance
+    contributes its BLAS's supers with world-space swept AABBs
     while child AABBs and triangle blocks are shared.  Memory is
     O(unique tris + instances x supers-per-blas).
     """

@@ -298,16 +298,24 @@ def _dispatch_clusters(clusters, o, d, tmin, tmax, any_hit=False,
     return intersect_clusters(clusters, o, d, tmin, tmax, any_hit=any_hit)
 
 
+def _indirect(clusters) -> bool:
+    """Instanced hierarchies must route through the hierarchy on every
+    backend: the flat tables hold BLAS-local geometry."""
+    return clusters is not None and getattr(clusters, "indirect", False)
+
+
 def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
               clusters=None, active=None) -> Hit:
     """Closest-hit entry point: brute force for small soups; on big scenes
     cluster marching (TPU) or the threaded BVH (CPU); analytic prims always
     tested."""
-    if (bvh is None and clusters is None) or geom.n_tris <= BRUTE_FORCE_MAX:
+    if not _indirect(clusters) and (
+            (bvh is None and clusters is None)
+            or geom.n_tris <= BRUTE_FORCE_MAX):
         return intersect_brute(geom, o, d, tmin, tmax)
 
     R = o.shape[0]
-    if clusters is not None and _use_pallas():
+    if clusters is not None and (_use_pallas() or _indirect(clusters)):
         sg = jax.lax.stop_gradient
         st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
                                 active=active)
@@ -350,6 +358,7 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
         shape=jnp.where(kind == KIND_NONE, INVALID, shape).astype(Int),
         u=jnp.where(kind == KIND_TRI, st["u"], 0.0),
         v=jnp.where(kind == KIND_TRI, st["v"], 0.0),
+        inst=jnp.where(kind == KIND_TRI, st.get("inst", 0), 0).astype(Int),
     )
 
 
@@ -421,7 +430,7 @@ def intersect_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
     on the hierarchy path (sparse bounce wavefronts)."""
     from ..core import v3 as v
 
-    small = geom.n_tris <= BRUTE_FORCE_MAX
+    small = geom.n_tris <= BRUTE_FORCE_MAX and not _indirect(clusters)
     if not (_use_pallas() and small and clusters is None):
         return intersect(geom, o.to_array(), d.to_array(), tmin, tmax,
                          bvh=bvh, clusters=clusters, active=active)
@@ -475,7 +484,7 @@ def occluded_v(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
     """Any-hit over component-SoA rays."""
     from ..core import v3 as v
 
-    small = geom.n_tris <= BRUTE_FORCE_MAX
+    small = geom.n_tris <= BRUTE_FORCE_MAX and not _indirect(clusters)
     if not (_use_pallas() and small and clusters is None):
         return occluded(geom, o.to_array(), d.to_array(), tmin, tmax,
                         bvh=bvh, clusters=clusters, active=active)
@@ -499,7 +508,9 @@ def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
              clusters=None, active=None) -> jax.Array:
     """Any-hit (shadow ray) query -> bool per ray."""
     R = o.shape[0]
-    if clusters is not None and _use_pallas() and geom.n_tris > BRUTE_FORCE_MAX:
+    if clusters is not None and (
+            (_use_pallas() and geom.n_tris > BRUTE_FORCE_MAX)
+            or _indirect(clusters)):
         sg = jax.lax.stop_gradient
         st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
                                 any_hit=True, active=active)

@@ -71,6 +71,77 @@ class SceneBuilder:
         self.camera_medium: int = INVALID
         self.settings = RenderSettings()
         self.ids: dict[str, object] = {}  # id -> bsdf index / texture index
+        # shared-BLAS instancing (instance.cpp:115 analog): shapegroups are
+        # captured once in local space; instances record transforms only
+        self.blas_groups: dict = {}   # key -> dict(tri_range, shapes)
+        self.instances: list = []     # (key, (3,4) to_world matrix)
+        self._capture = None
+
+    # -- shared-BLAS instancing --------------------------------------------
+    def begin_group(self, key):
+        if self._capture is not None:
+            raise ValueError("nested shapegroups are not permitted")
+        self._capture = dict(
+            key=key,
+            tri0=sum(len(a) for a in self._tri["p0"]),
+            sph0=len(self._sph["center"]),
+            disk0=len(self._disk["center"]),
+            shape0=len(self.shape_bsdf),
+        )
+
+    def end_group(self, key):
+        cap = self._capture
+        self._capture = None
+        tri1 = sum(len(a) for a in self._tri["p0"])
+        shapes = list(range(cap["shape0"], len(self.shape_bsdf)))
+        from ..core.registry import warn_substitution
+
+        if any(self.shape_emitter[s] != INVALID for s in shapes):
+            warn_substitution(
+                "instance", "area emitters inside shapegroups are sampled "
+                "in BLAS-local space (un-instanced); move emitters out of "
+                "the group")
+        # analytic prims added during capture are popped and re-added
+        # transformed per instance (their tables are tiny)
+        sph_chunks = [self._sph[k][cap["sph0"]:] for k in
+                      ("center", "radius", "shape")]
+        for k in ("center", "radius", "shape"):
+            del self._sph[k][cap["sph0"]:]
+        disk_chunks = [self._disk[k][cap["disk0"]:] for k in
+                       ("center", "n", "s", "t", "radius", "shape")]
+        for k in ("center", "n", "s", "t", "radius", "shape"):
+            del self._disk[k][cap["disk0"]:]
+        self.blas_groups[key] = dict(
+            tri_range=(cap["tri0"], tri1), shapes=shapes,
+            sph=sph_chunks, disk=disk_chunks)
+
+    def add_instance(self, key, to_world: np.ndarray):
+        g = self.blas_groups[key]
+        M = np.asarray(to_world, np.float64).reshape(3, 4)
+        self.instances.append((key, M.astype(np.float32)))
+        R, tvec = M[:, :3], M[:, 3]
+        # analytic prims: expand transformed copies (rigid + uniform scale)
+        scales = np.linalg.norm(R, axis=0)
+        uniform = np.allclose(scales, scales[0], rtol=1e-4)
+        if (g["sph"][0] or g["disk"][0]) and not uniform:
+            from ..core.registry import warn_substitution
+
+            warn_substitution(
+                "instance", "non-uniform scale on analytic primitives in a "
+                "shapegroup (sphere stays spherical)")
+        sc = float(scales.mean())
+        Rn = R / np.maximum(scales[None, :], 1e-20)
+        for c, r, sid in zip(*g["sph"]):
+            self._sph["center"].append(c @ R.T + tvec)
+            self._sph["radius"].append(r * sc)
+            self._sph["shape"].append(sid)
+        for c, n, s_, t_, r, sid in zip(*g["disk"]):
+            self._disk["center"].append(c @ R.T + tvec)
+            self._disk["n"].append(n @ Rn.T)
+            self._disk["s"].append(s_ @ Rn.T)
+            self._disk["t"].append(t_ @ Rn.T)
+            self._disk["radius"].append(r * sc)
+            self._disk["shape"].append(sid)
 
     # -- components --------------------------------------------------------
     def add_bsdf(self, record: dict) -> int:
@@ -188,7 +259,65 @@ class SceneBuilder:
         if self._disk["center"]:
             disk = {k: np.concatenate(v, axis=0) for k, v in self._disk.items()}
 
-        geom = make_geometry(tri, sph, disk)
+        # shared-BLAS instancing: build the instanced hierarchy over local
+        # geometry (one BLAS per shapegroup + one for regular shapes) and
+        # derive per-instance normal rotations for shading
+        inst_clusters = None
+        inst_rot = None
+        inst_pts = []
+        if self.instances and tri is not None:
+            if self.has_motion:
+                raise ValueError(
+                    "instancing cannot combine with deformable motion yet")
+            from ..accel.hierarchy import build_hierarchy_instanced
+
+            p0a = tri["p0"].astype(np.float32)
+            e1a = tri["e1"].astype(np.float32)
+            e2a = tri["e2"].astype(np.float32)
+            T = len(p0a)
+            in_group = np.zeros(T, bool)
+            for g in self.blas_groups.values():
+                a, b = g["tri_range"]
+                in_group[a:b] = True
+            blas_list = []
+            inst_list = []
+            reg_idx = np.nonzero(~in_group)[0]
+            ident = np.concatenate(
+                [np.eye(3, dtype=np.float32), np.zeros((3, 1), np.float32)],
+                axis=1)
+            if len(reg_idx):
+                blas_list.append((p0a[reg_idx], e1a[reg_idx], e2a[reg_idx],
+                                  reg_idx))
+                inst_list.append((0, ident))
+            key_to_blas = {}
+            for key, g in self.blas_groups.items():
+                a, b = g["tri_range"]
+                if b == a:
+                    continue
+                key_to_blas[key] = len(blas_list)
+                blas_list.append((p0a[a:b], e1a[a:b], e2a[a:b],
+                                  np.arange(a, b)))
+            for key, M in self.instances:
+                if key not in key_to_blas:
+                    continue
+                inst_list.append((key_to_blas[key], M))
+                # world-space corners of the group's local bounds
+                a, b = self.blas_groups[key]["tri_range"]
+                v0 = p0a[a:b]
+                pts_l = np.concatenate(
+                    [v0, v0 + e1a[a:b], v0 + e2a[a:b]], axis=0)
+                lo_l, hi_l = pts_l.min(0), pts_l.max(0)
+                corners = np.array(
+                    [[x, y, z] for x in (lo_l[0], hi_l[0])
+                     for y in (lo_l[1], hi_l[1])
+                     for z in (lo_l[2], hi_l[2])], np.float32)
+                inst_pts.append(corners @ M[:, :3].T + M[:, 3])
+            inst_clusters = build_hierarchy_instanced(blas_list, inst_list)
+            fwd = np.asarray(inst_clusters.inst_fwd)
+            inst_rot = np.linalg.inv(
+                fwd[:, :, :3]).transpose(0, 2, 1).astype(np.float32)
+
+        geom = make_geometry(tri, sph, disk, inst_rot=inst_rot)
 
         from ..core import statistics as stats
 
@@ -210,7 +339,7 @@ class SceneBuilder:
 
         # BVH + clusters (built only when the soup beats brute force)
         n_tris = geom.n_tris
-        clusters = None
+        clusters = inst_clusters
         if self.has_motion and n_tris > BRUTE_FORCE_MAX:
             from ..core.registry import warn_substitution
 
@@ -218,14 +347,16 @@ class SceneBuilder:
                 "accel", "deformable scenes above the brute-force "
                 "threshold fall back to all-primitive testing (the static "
                 "hierarchy cannot cover moving triangles yet)")
-        if n_tris > BRUTE_FORCE_MAX and not self.has_motion:
+        if (n_tris > BRUTE_FORCE_MAX and not self.has_motion
+                and clusters is None):
             from ..accel.hierarchy import build_hierarchy
 
             clusters = build_hierarchy(
                 np.asarray(geom.tri_p0)[:n_tris], np.asarray(geom.tri_e1)[:n_tris],
                 np.asarray(geom.tri_e2)[:n_tris],
             )
-        if n_tris > BRUTE_FORCE_MAX and not self.has_motion:
+        if (n_tris > BRUTE_FORCE_MAX and not self.has_motion
+                and inst_clusters is None):
             lo, hi = bvh_mod.tri_bounds(
                 np.asarray(geom.tri_p0), np.asarray(geom.tri_e1), np.asarray(geom.tri_e2)
             )
@@ -240,7 +371,7 @@ class SceneBuilder:
             use_bvh = False
 
         # scene bounding sphere (for env/directional emitters)
-        pts = []
+        pts = list(inst_pts)
         if tri is not None:
             pts += [tri["p0"], tri["p0"] + tri["e1"], tri["p0"] + tri["e2"]]
         if sph is not None:

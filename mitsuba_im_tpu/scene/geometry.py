@@ -52,9 +52,16 @@ class Geometry:
     disk_radius: jax.Array  # (D,)
     disk_shape: jax.Array  # (D,) int32
 
+    # per-instance normal rotations for shared-BLAS instancing
+    # (``/root/reference/src/shapes/instance.cpp:115``): row 0 = identity;
+    # instanced triangle attributes are stored in BLAS-local space and
+    # rotated at interaction time
+    inst_rot: jax.Array = None  # (I, 3, 3)
+
     n_tris: int = static_field(default=0)  # real (unpadded) counts
     n_spheres: int = static_field(default=0)
     n_disks: int = static_field(default=0)
+    instanced: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -67,10 +74,14 @@ class Hit:
     shape: jax.Array  # int32 shape id (INVALID when miss)
     u: jax.Array  # tri: barycentric u; sphere/disk: local param
     v: jax.Array
+    inst: jax.Array = None  # int32 instance id (0 = identity / non-instanced)
 
     @property
     def valid(self) -> jax.Array:
         return self.kind > KIND_NONE
+
+    def inst_or_zero(self):
+        return jnp.zeros_like(self.prim) if self.inst is None else self.inst
 
 
 @pytree_dataclass
@@ -142,8 +153,12 @@ def make_geometry(
     tri_data: dict | None,
     spheres: dict | None,
     disks: dict | None,
+    inst_rot: np.ndarray | None = None,
 ) -> Geometry:
-    """Build a Geometry from host numpy dicts (padding each kind to >=1)."""
+    """Build a Geometry from host numpy dicts (padding each kind to >=1).
+
+    ``inst_rot``: (I, 3, 3) per-instance normal rotations (inverse-transpose
+    of the instance linear parts) when shared-BLAS instancing is active."""
 
     def pad_tri():
         far = 3.0e37
@@ -196,7 +211,10 @@ def make_geometry(
         disk_center=f(disks["center"]), disk_n=f(disks["n"]), disk_s=f(disks["s"]),
         disk_t=f(disks["t"]), disk_radius=f(disks["radius"]),
         disk_shape=i(disks["shape"]),
+        inst_rot=f(np.eye(3, dtype=np.float32)[None]
+                   if inst_rot is None else inst_rot),
         n_tris=n_tris, n_spheres=n_spheres, n_disks=n_disks,
+        instanced=inst_rot is not None and len(inst_rot) > 1,
     )
 
 
@@ -245,6 +263,23 @@ def compute_interaction_v(geom: Geometry, o, d, hit: Hit) -> Interaction3:
     ng_tri = e1.cross(e2).normalized()
     w = 1.0 - hit.u - hit.v
     ns_tri = (n0 * w + n1 * hit.u + n2 * hit.v).normalized()
+    if geom.instanced:
+        # rotate BLAS-local normals into world space per instance: nine
+        # rotation components fetched as flat columns (I is tiny)
+        Rf = geom.inst_rot.reshape(geom.inst_rot.shape[0], 9)
+        ii = jnp.clip(hit.inst_or_zero(), 0, Rf.shape[0] - 1)
+        rc = [v.gather_col(Rf[:, k], ii) if Rf.shape[0] <= v.SELECT_MAX
+              else Rf[ii, k] for k in range(9)]
+
+        def rot_v3(n):
+            return v.V3(
+                rc[0] * n.x + rc[1] * n.y + rc[2] * n.z,
+                rc[3] * n.x + rc[4] * n.y + rc[5] * n.z,
+                rc[6] * n.x + rc[7] * n.y + rc[8] * n.z,
+            ).normalized()
+
+        ng_tri = rot_v3(ng_tri)
+        ns_tri = rot_v3(ns_tri)
     uvu_tri = uv0u * w + uv1u * hit.u + uv2u * hit.v
     uvv_tri = uv0v * w + uv1v * hit.u + uv2v * hit.v
 
@@ -320,6 +355,13 @@ def compute_interaction(geom: Geometry, o: jax.Array, d: jax.Array, hit: Hit) ->
         + tb["n1"] * hit.u[..., None]
         + tb["n2"] * hit.v[..., None]
     )
+    if geom.instanced:
+        # rotate BLAS-local normals into world space per instance
+        R = geom.inst_rot[jnp.clip(hit.inst_or_zero(), 0,
+                                   geom.inst_rot.shape[0] - 1)]
+        rot = lambda n: m.normalize(jnp.einsum("...ij,...j->...i", R, n))
+        ng_tri = rot(ng_tri)
+        ns_tri = rot(ns_tri)
     uv_tri = (
         tb["uv0"] * w[..., None]
         + tb["uv1"] * hit.u[..., None]

@@ -245,9 +245,12 @@ def _heightfield(props: Properties, ctx=None):
     return _finish_mesh(props, ctx, mesh)
 
 
-# shapegroup/instance: the loader stores shapegroup definitions and expands
-# instances into copies (kd-tree instancing becomes table replication —
-# acceptable for moderate instance counts; true instancing planned).
+# shapegroup/instance: true shared-BLAS instancing
+# (``/root/reference/src/shapes/instance.cpp:115-129`` shares one kd-tree per
+# shapegroup).  The group's meshes are created ONCE in local space; each
+# instance records only a transform — memory is O(unique tris + instances),
+# and the two-level hierarchy tests instanced supers with t-preserving
+# local-space rays.
 _SHAPEGROUPS: dict[str, list] = {}
 
 
@@ -261,14 +264,29 @@ def _shapegroup(props: Properties, ctx=None):
 def _instance(props: Properties, ctx=None):
     ref = props.children.get("shapegroup")
     to_world = props.get_transform("toWorld", Transform())
+    from ..core import registry
+
+    if ctx is not None and hasattr(ctx, "add_instance"):
+        if not isinstance(ref, list):
+            if ref in getattr(ctx, "blas_groups", {}):
+                # XML path: the <ref> resolved to a captured group key
+                ctx.add_instance(ref, np.asarray(to_world.m)[:3, :4])
+            return None
+        key = id(ref)
+        if key not in ctx.blas_groups:
+            ctx.begin_group(key)
+            for child_props in ref:
+                registry.create("shape", child_props.copy(), ctx)
+            ctx.end_group(key)
+        ctx.add_instance(key, np.asarray(to_world.m)[:3, :4])
+        return None
     if not isinstance(ref, list):
         return None
+    # no builder context: expand copies (correctness fallback)
     for child_props in ref:
         cp = child_props.copy()
         base = cp.get_transform("toWorld", Transform())
         cp.set("toWorld", to_world @ base)
-        from ..core import registry
-
         registry.create("shape", cp, ctx)
     return None
 

@@ -115,6 +115,21 @@ class SceneLoader:
         props = Properties(ptype)
         props.id = el.get("id", "")
 
+        # shapegroup: capture child shapes into a shared BLAS group on the
+        # builder (instance.cpp:115 analog) instead of world geometry; the
+        # <ref> then resolves to the group key consumed by <shape
+        # type="instance">
+        if (category == "shape" and ptype == "shapegroup"
+                and hasattr(self.builder, "begin_group")):
+            key = ("shapegroup", id(el))
+            self.builder.begin_group(key)
+            for child in el:
+                if child.tag == "shape":
+                    self._instantiate(child)
+            self.builder.end_group(key)
+            self.ids[props.id or "default"] = ("shapegroup", key)
+            return None
+
         for child in el:
             tag = child.tag
             if tag in _PROP_TAGS:

@@ -1,5 +1,6 @@
 """Two-level cluster hierarchy: cross-validation against brute force / BVH
-on random soups, the reference bunny, and instanced geometry."""
+on random soups and the reference bunny (instanced geometry is covered in
+test_instancing.py; the 1.1M-triangle regime in test_large_scene.py)."""
 import os
 
 import numpy as np

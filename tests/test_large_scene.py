@@ -49,6 +49,59 @@ def bunny_scene(tmp_path, spp=2, res=24, integrator="path"):
     return load_scene(str(p))
 
 
+def test_hierarchy_1m_tris_matches_brute(rng=None):
+    """Correctness at the bench regime: the 1.1M-triangle subdivided bunny
+    through the two-level hierarchy vs chunked numpy brute force."""
+    import jax.numpy as jnp
+    from bench_scenes import subdivide_midpoint
+    from mitsuba_im_tpu.scene.mesh import load_ply
+    from mitsuba_im_tpu.accel import hierarchy as hy
+
+    base = load_ply(BUNNY)
+    pos, idx = subdivide_midpoint(np.asarray(base.positions),
+                                  np.asarray(base.indices), rounds=2)
+    p0 = pos[idx[:, 0]].astype(np.float32)
+    e1 = (pos[idx[:, 1]] - pos[idx[:, 0]]).astype(np.float32)
+    e2 = (pos[idx[:, 2]] - pos[idx[:, 0]]).astype(np.float32)
+    assert len(p0) > 1_000_000
+    h = hy.build_hierarchy(p0, e1, e2)
+
+    rng = np.random.default_rng(7)
+    n = 96
+    c = pos.mean(0)
+    ext = (pos.max(0) - pos.min(0)).max()
+    o = (c + rng.uniform(-0.8, 0.8, (n, 3)) * ext).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    st = hy.intersect_hierarchy(h, jnp.asarray(o), jnp.asarray(d), 1e-5, 1e30)
+
+    # chunked numpy brute force ground truth
+    t_ref = np.full(n, np.inf, np.float64)
+    CH = 200_000
+    for a in range(0, len(p0), CH):
+        P, E1, E2 = p0[a:a+CH], e1[a:a+CH], e2[a:a+CH]
+        for r in range(n):
+            pv = np.cross(d[r][None], E2)
+            det = (E1 * pv).sum(1)
+            ok = np.abs(det) > 1e-12
+            dets = np.where(ok, det, 1.0)
+            tv = o[r][None] - P
+            uu = (tv * pv).sum(1) / dets
+            qv = np.cross(tv, E1)
+            vv = (d[r][None] * qv).sum(1) / dets
+            th = (E2 * qv).sum(1) / dets
+            good = ok & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (th > 1e-5)
+            if good.any():
+                t_ref[r] = min(t_ref[r], th[good].min())
+
+    found_ref = np.isfinite(t_ref)
+    found_h = np.asarray(st["found"])
+    np.testing.assert_array_equal(found_h, found_ref)
+    np.testing.assert_allclose(np.asarray(st["t"])[found_h],
+                               t_ref[found_ref], rtol=1e-4, atol=1e-6)
+
+
 class TestBunnyEnvmap:
     def test_loads_with_bvh(self, tmp_path):
         scene, settings = bunny_scene(tmp_path)
