@@ -139,29 +139,48 @@ def _roughplastic(props, ctx=None):
 
 
 @register("bsdf", "coating")
-def _coating(props: Properties, ctx=None):
-    """Smooth coating: approximated as plastic over the nested BSDF's
-    diffuse color (full layered model planned)."""
+def _coating(props: Properties, ctx=None, rough=False):
+    """Smooth dielectric coating (``src/bsdfs/coating.cpp``): layered model
+    with refraction into the coat, substrate eval in the refracted frame,
+    and sigmaA*thickness Beer absorption.  Diffuse-class substrates use the
+    exact layered lobe; other substrates degrade to plastic over the
+    substrate color with a loud substitution warning."""
+    from ..core.registry import warn_substitution
+
     rec = props.children.get("bsdf", None)
     if isinstance(rec, dict):
         base = dict(rec)
     else:
         base = bc.default_record()
-    base_refl = base.get("refl", np.full(3, 0.5))
     out = bc.default_record()
-    out["type"] = bc.PLASTIC
     out["eta_s"] = _eta_dielectric(props)
-    out["refl"] = base_refl
+    out["refl"] = base.get("refl", np.full(3, 0.5))
     out["refl_tex"] = base.get("refl_tex", -1)
+    thickness = props.get_float("thickness", 1.0)
+    sigma_a = props.get_spectrum("sigmaA", np.zeros(3))
+    out["trans"] = np.asarray(sigma_a, np.float64) * thickness
+    out["spec"] = props.get_spectrum("specularReflectance", np.ones(3))
+    if base.get("type", bc.DIFFUSE) in (bc.DIFFUSE, bc.ROUGHDIFFUSE):
+        out["type"] = bc.COATING
+        if base.get("type") == bc.ROUGHDIFFUSE:
+            warn_substitution(
+                "coating", "rough-diffuse substrate treated as Lambertian "
+                "inside the coat (Oren-Nayar term dropped)")
+    else:
+        out["type"] = bc.PLASTIC
+        warn_substitution(
+            "coating", "non-diffuse substrate approximated as plastic over "
+            "the substrate color (layered eval limited to diffuse bases)")
+    if rough:
+        warn_substitution(
+            "roughcoating", "coat interface treated as smooth (substrate "
+            "refraction + absorption are exact; coat roughness dropped)")
     return out
 
 
 @register("bsdf", "roughcoating")
 def _roughcoating(props, ctx=None):
-    out = _coating(props, ctx)
-    out["type"] = bc.ROUGHPLASTIC
-    _alpha(props, ctx, out)
-    return out
+    return _coating(props, ctx, rough=True)
 
 
 @register("bsdf", "phong")

@@ -45,6 +45,7 @@ TYPE_NAMES = {
     PLASTIC: "plastic", ROUGHPLASTIC: "roughplastic", PHONG: "phong",
     WARD: "ward", NULL_BSDF: "null", DIFFTRANS: "difftrans",
     MASK: "mask", BLEND: "blendbsdf", HK: "hk", IRAWAN: "irawan",
+    COATING: "coating",
 }
 
 # Frame-perturbation kinds (bumpmap.cpp / normalmap.cpp wrappers)

@@ -27,7 +27,7 @@ from .common import (
     LaneParams, LaneParams3, lane_params_to_v,
     DIFFUSE, ROUGHDIFFUSE, CONDUCTOR, ROUGHCONDUCTOR, DIELECTRIC,
     THINDIELECTRIC, ROUGHDIELECTRIC, PLASTIC, ROUGHPLASTIC, PHONG, WARD,
-    NULL_BSDF, DIFFTRANS, HK, IRAWAN, FLAG_TWOSIDED,
+    NULL_BSDF, DIFFTRANS, HK, IRAWAN, COATING, FLAG_TWOSIDED,
 )
 from .fresnel import (
     fresnel_dielectric, fresnel_conductor_v, fresnel_diffuse_reflectance,
@@ -219,6 +219,42 @@ def _prob_specular(p, Fi):
     ps = Fi * sw
     pd = (1.0 - Fi) * (1.0 - sw)
     return ps / jnp.maximum(ps + pd, 1e-8)
+
+
+def _coat_cos_inside(c, eta):
+    """Refracted cosine inside the coat: sin' = sin/eta."""
+    return safe_sqrt(1.0 - (1.0 - c * c) / (eta * eta))
+
+
+def _eval_coating(p, wi, wo):
+    """Smooth dielectric coating over a diffuse substrate
+    (``src/bsdfs/coating.cpp:37-39,161-170``): both directions refract into
+    the coat, the substrate evaluates in the refracted frame, Beer
+    absorption ``exp(-sigmaA*d*(1/cos_i' + 1/cos_o'))`` attenuates both
+    crossings, and the solid-angle compression contributes 1/eta^2 (the
+    refracted substrate cosine cancels against the measure change)."""
+    ci, co = wi.z, wo.z
+    ok = (ci > 0) & (co > 0)
+    eta = p.eta_s
+    F_i, _, _, _ = fresnel_dielectric(ci, eta)
+    F_o, _, _, _ = fresnel_dielectric(co, eta)
+    ci_p = jnp.maximum(_coat_cos_inside(ci, eta), 1e-6)
+    co_p = jnp.maximum(_coat_cos_inside(co, eta), 1e-6)
+    absorption = (p.trans * (-(1.0 / ci_p + 1.0 / co_p))).exp()
+    scale = (INV_PI * jnp.maximum(co, 0.0) * (1.0 - F_i) * (1.0 - F_o)
+             / (eta * eta))
+    return _m3(ok, p.refl * absorption * scale)
+
+
+def _pdf_coating(p, wi, wo):
+    """Substrate lobe pdf: cosine sampling inside the coat pushed through
+    the exit refraction (d_omega'/d_omega = cos/(eta^2 cos')), times the
+    non-specular lobe probability 1 - F(wi)."""
+    ci, co = wi.z, wo.z
+    ok = (ci > 0) & (co > 0)
+    F_i, _, _, _ = fresnel_dielectric(ci, p.eta_s)
+    return jnp.where(ok, (1.0 - F_i) * jnp.maximum(co, 0.0)
+                     * INV_PI / (p.eta_s * p.eta_s), 0.0)
 
 
 def _eval_plastic(p, wi, wo):
@@ -430,6 +466,7 @@ _EVAL = {
     ROUGHCONDUCTOR: (_eval_roughconductor, _pdf_roughconductor),
     ROUGHDIELECTRIC: (_eval_roughdielectric, _pdf_roughdielectric),
     PLASTIC: (_eval_plastic, _pdf_plastic),
+    COATING: (_eval_coating, _pdf_coating),
     ROUGHPLASTIC: (_eval_roughplastic, _pdf_roughplastic),
     PHONG: (_eval_phong, _pdf_phong),
     WARD: (_eval_ward, _pdf_ward),
@@ -515,6 +552,34 @@ def bsdf_sample_v(p: LaneParams3, wi: V3, u_lobe, u2a, u2b,
                                         shape)
             wo, weight, pdf, delta, eta = _sel(
                 sel, out, (wo, weight, pdf, delta, eta)
+            )
+        elif t == COATING:
+            # coating.cpp sampling: specular reflection w.p. F(wi), else a
+            # cosine sample inside the coat refracted back out (exit-TIR
+            # samples are lost, as in the reference)
+            eta_c = p.eta_s
+            F_i, _, _, _ = fresnel_dielectric(ci, eta_c)
+            pick_spec = u_lobe < F_i
+            wo_spec = v.reflect(wi_f)
+            wo_in = v.square_to_cosine_hemisphere(u2a, u2b)
+            tz2 = 1.0 - eta_c * eta_c * (1.0 - wo_in.z * wo_in.z)
+            exits = tz2 > 0.0
+            wo_sub = V3(eta_c * wo_in.x, eta_c * wo_in.y,
+                        safe_sqrt(tz2)).normalized()
+            co = jnp.maximum(wo_sub.z, 1e-6)
+            F_o, _, _, _ = fresnel_dielectric(co, eta_c)
+            ci_p = jnp.maximum(_coat_cos_inside(ci, eta_c), 1e-6)
+            absorption = (p.trans * (-(1.0 / ci_p + 1.0 / wo_in.z))).exp()
+            w_sub = _m3((ci > 0) & exits,
+                        p.refl * absorption * (1.0 - F_o))
+            pdf_sub = jnp.where(
+                exits, (1.0 - F_i) * co * INV_PI / (eta_c * eta_c), 1.0)
+            wo_t = v.where(pick_spec, wo_spec, wo_sub)
+            w_t = v.where(pick_spec, p.spec, w_sub)
+            pdf_t = jnp.where(pick_spec, 1.0, pdf_sub)
+            wo, weight, pdf, delta, eta = _sel(
+                sel, (wo_t, w_t, pdf_t, pick_spec, jnp.ones(shape)),
+                (wo, weight, pdf, delta, eta),
             )
         elif t == DIELECTRIC:
             F, cos_t, eta_rel, eta_ti = fresnel_dielectric(ci, p.eta_s)

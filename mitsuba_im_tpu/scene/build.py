@@ -71,6 +71,7 @@ class SceneBuilder:
         self.camera_medium: int = INVALID
         self.settings = RenderSettings()
         self.ids: dict[str, object] = {}  # id -> bsdf index / texture index
+        self.pending_vertexcolors: list[int] = []  # texture ids awaiting bake
         # shared-BLAS instancing (instance.cpp:115 analog): shapegroups are
         # captured once in local space; instances record transforms only
         self.blas_groups: dict = {}   # key -> dict(tri_range, shapes)
@@ -166,7 +167,8 @@ class SceneBuilder:
         self.subsurface_records.append(record)
         return len(self.subsurface_records) - 1
 
-    def add_trimesh(self, mesh: TriMesh, shape_id: int, face_normals=False):
+    def add_trimesh(self, mesh: TriMesh, shape_id: int, face_normals=False,
+                    corner_uvs=None):
         p = np.asarray(mesh.positions, np.float64)
         idx = np.asarray(mesh.indices, np.int64)
         if len(idx) == 0:
@@ -181,7 +183,10 @@ class SceneBuilder:
             n0, n1, n2 = (mesh.normals[idx[:, k]] for k in range(3))
         else:
             n0 = n1 = n2 = gn
-        if mesh.uvs is not None:
+        if corner_uvs is not None:
+            # per-corner override (vertex-color bake): (T, 3, 2)
+            uv0, uv1, uv2 = (corner_uvs[:, k] for k in range(3))
+        elif mesh.uvs is not None:
             uv0, uv1, uv2 = (mesh.uvs[idx[:, k]] for k in range(3))
         else:
             uv0 = uv1 = uv2 = np.zeros((len(idx), 2))

@@ -69,7 +69,14 @@ def _finish_mesh(props, ctx, mesh: TriMesh):
             mesh.normals = -mesh.normals
     bsdf_id, em_rec, mi, me, ss_id = _shape_common(props, ctx)
     sid = ctx.new_shape(bsdf_id, interior=mi, exterior=me, subsurface=ss_id)
-    ctx.add_trimesh(mesh, sid, face_normals=face_normals)
+    corner_uvs = None
+    if getattr(ctx, "pending_vertexcolors", None):
+        from ..texture import bake_vertex_colors
+
+        pend, ctx.pending_vertexcolors = ctx.pending_vertexcolors, []
+        corner_uvs = bake_vertex_colors(ctx, mesh, pend)
+    ctx.add_trimesh(mesh, sid, face_normals=face_normals,
+                    corner_uvs=corner_uvs)
     if em_rec is not None:
         area = float(mesh.surface_areas().sum())
         _attach_area_emitter(ctx, em_rec, sid, et.AK_TRIMESH, surface_area=area)

@@ -302,13 +302,22 @@ def _parse_rgb(value: str) -> np.ndarray:
 
 
 def _parse_spectrum(value: str) -> np.ndarray:
-    """Uniform value, rgb triple, or wavelength:value pairs (reduced to a
-    flat rgb of the mean — full spectral upsampling planned)."""
+    """Uniform value, rgb triple, or wavelength:value SPD pairs.
+
+    SPDs are integrated against the CIE 1931 observer and converted to
+    linear RGB (``Spectrum::toXYZ``/``fromContinuousSpectrum`` analog,
+    ``/root/reference/src/libcore/spectrum.cpp``), so measured spectra
+    (metal IORs, test scenes) keep their color."""
     value = value.strip()
     if ":" in value:
         pairs = [p for p in re.split(r"[ ,]+", value) if ":" in p]
+        wl = [float(p.split(":")[0]) for p in pairs]
         vals = [float(p.split(":")[1]) for p in pairs]
-        return np.full(3, float(np.mean(vals)) if vals else 0.0)
+        if len(vals) == 1:
+            return np.full(3, vals[0])
+        from ..core.spectrum import interpolated_rgb
+
+        return np.maximum(interpolated_rgb(wl, vals), 0.0)
     parts = [float(x) for x in re.split(r"[ ,]+", value) if x]
     if len(parts) == 1:
         return np.full(3, parts[0])

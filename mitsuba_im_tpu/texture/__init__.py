@@ -90,10 +90,63 @@ def _wireframe(props: Properties, ctx=None):
 
 @register("texture", "vertexcolors")
 def _vertexcolors(props: Properties, ctx=None):
-    """Vertex colors: constant fallback (per-vertex attribute fetch planned)."""
+    """Per-vertex colors (``/root/reference/src/textures/vertexcolors.cpp:43``
+    interpolates ``its.color``).  TPU design: the owning mesh bakes its
+    corner colors into a 2x2-texel atlas block per triangle (the fourth
+    texel is c1+c2-c0, which makes bilinear filtering *exactly* barycentric
+    interpolation) and per-corner UVs address the block — the hot path is
+    the ordinary bitmap lookup.  The bake happens when the mesh registers
+    (see ``scene.shapes._finish_mesh``)."""
     if ctx is None:
         return -1
-    return ctx.textures.add_constant(np.full(3, 0.5))
+    tid = ctx.textures.add_constant(np.full(3, 0.5))
+    if hasattr(ctx, "pending_vertexcolors"):
+        ctx.pending_vertexcolors.append(tid)
+    return tid
+
+
+def bake_vertex_colors(ctx, mesh, tex_ids):
+    """Bake mesh corner colors into per-triangle 2x2 atlas blocks; returns
+    (T, 3, 2) per-corner UVs (or None when the mesh carries no colors)."""
+    from .texture import TEX_BITMAP, WRAP_CLAMP, MAX_MIP
+    from ..core.registry import warn_substitution
+
+    idx = np.asarray(mesh.indices, np.int64)
+    T = len(idx)
+    if mesh.colors is None or T == 0:
+        warn_substitution(
+            "vertexcolors", "mesh has no per-vertex colors; using the "
+            "constant 0.5 fallback")
+        return None
+    col = np.asarray(mesh.colors, np.float32)
+    c0, c1, c2 = col[idx[:, 0]], col[idx[:, 1]], col[idx[:, 2]]
+    img = np.empty((2, 2 * T, 3), np.float32)
+    img[0, 0::2] = c0
+    img[0, 1::2] = c1
+    img[1, 0::2] = c2
+    img[1, 1::2] = c1 + c2 - c0  # kills the bilinear cross term
+    tb = ctx.textures
+    off = tb.atlas_size
+    flat = img.reshape(-1, 3)
+    tb.atlas_parts.append(flat)
+    tb.atlas_size += len(flat)
+    for tid in tex_ids:
+        tb.records[tid].update(
+            type=TEX_BITMAP, offset=off, width=2 * T, height=2,
+            wrap=WRAP_CLAMP, uvscale=np.ones(2), uvoffset=np.zeros(2),
+            mip_offset=np.full(MAX_MIP, off, np.int64), n_levels=1,
+        )
+    ii = np.arange(T, dtype=np.float64)
+    u0 = (2 * ii + 0.5) / (2 * T)
+    u1 = (2 * ii + 1.5) / (2 * T)
+    uv = np.empty((T, 3, 2), np.float64)
+    uv[:, 0, 0] = u0
+    uv[:, 0, 1] = 0.25
+    uv[:, 1, 0] = u1
+    uv[:, 1, 1] = 0.25
+    uv[:, 2, 0] = u0
+    uv[:, 2, 1] = 0.75
+    return uv
 
 
 @register("texture", "curvature")

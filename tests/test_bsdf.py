@@ -106,6 +106,10 @@ CHI2_CASES = [
     ("ward", dict(type=bc.WARD, alpha_u=0.25, alpha_v=0.4, refl=np.full(3, 0.4),
                   spec=np.full(3, 0.3)), WI_GRAZING),
     ("difftrans", dict(type=bc.DIFFTRANS, trans=np.full(3, 0.7)), WI_STEEP),
+    ("coating", dict(type=bc.COATING, refl=np.full(3, 0.6), eta_s=1.5,
+                     trans=np.full(3, 0.1)), WI_GRAZING),
+    ("coating_steep", dict(type=bc.COATING, refl=np.full(3, 0.6), eta_s=1.3,
+                           trans=np.zeros(3)), WI_STEEP),
 ]
 
 
@@ -126,6 +130,8 @@ class TestWeightConsistency:
             dict(type=bc.ROUGHCONDUCTOR, dist=DIST_GGX, alpha_u=0.2, alpha_v=0.2),
             dict(type=bc.ROUGHDIELECTRIC, dist=DIST_GGX, alpha_u=0.3, alpha_v=0.3),
             dict(type=bc.ROUGHPLASTIC, dist=DIST_GGX, alpha_u=0.25, alpha_v=0.25),
+            dict(type=bc.COATING, refl=np.full(3, 0.6), eta_s=1.5,
+                 trans=np.full(3, 0.08)),
             dict(type=bc.PHONG),
             dict(type=bc.WARD, alpha_u=0.3, alpha_v=0.2),
         ],
