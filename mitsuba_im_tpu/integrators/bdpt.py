@@ -32,12 +32,19 @@ Light subpaths apply Veach's shading-normal asymmetry correction
 (:func:`_adjoint_correction`, ``include/mitsuba/bidir/vertex.h:272-408``)
 both along the walk and at connection vertices.
 
-Known deviations (documented, test-visible): no participating media in the
-bidir machinery (the volpath integrator covers media unidirectionally), and
-light subpaths do not start from environment/directional emitters — those
-are covered by the s<=1 strategies with matching pdf bookkeeping
-(pdf_light_origin = 0), which keeps the estimator unbiased (env-heavy
-scenes shift variance onto the s<=1 strategies rather than bias).
+Light subpaths start from every emitter type, including environment /
+constant / directional lights (``include/mitsuba/bidir/vertex.h:272-408``
+``sampleNext`` handles all emitter types): infinite emitters sample a
+direction (env 2D-CDF / uniform sphere / delta) then a point on the
+perpendicular scene-bounding disk, and all densities touching the infinite
+origin stay in the solid-angle measure while the first surface vertex uses
+the parallel-beam area density (disk pdf x |cos|).  Environment escapes are
+weighted as s=0 strategies with a pseudo-vertex at infinity against both
+NEE-env and the light-connection strategies.
+
+Known deviation (documented, test-visible): no participating media in the
+bidir machinery (the volpath integrator covers media unidirectionally;
+ref: medium-aware ``PathEdge``, ``include/mitsuba/bidir/edge.h:32-76``).
 """
 from __future__ import annotations
 
@@ -109,7 +116,7 @@ def _adjoint_correction(ns, ng, wi_world, wo_world):
 
 
 def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
-                start_p, start_n, adjoint=False):
+                start_p, start_n, adjoint=False, infinite0=None):
     """Extend a subpath by up to ``n_steps`` surface vertices.
 
     Returns (vertex list, sampler, escape record).  Each vertex dict holds
@@ -135,8 +142,10 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
         valid = alive & it.valid
         if i == 0:
             # record escaped primary/secondary rays once (env contribution)
+            esc0 = alive & ~it.valid
             escape = dict(d=cur_d, beta=beta, pdf_dir=pdf_dir,
-                          escaped=alive & ~it.valid, delta=pdf_delta)
+                          escaped=esc0, delta=pdf_delta,
+                          i=jnp.where(esc0, 0, -1))
         else:
             esc_now = alive & ~it.valid
             escape = dict(
@@ -145,12 +154,20 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
                 pdf_dir=jnp.where(esc_now, pdf_dir, escape["pdf_dir"]),
                 escaped=escape["escaped"] | esc_now,
                 delta=jnp.where(esc_now, pdf_delta, escape["delta"]),
+                i=jnp.where(esc_now, i, escape["i"]),
             )
 
         bparams = scene.bsdf_at(it)
         pdf_fwd = jnp.where(
             pdf_delta, 0.0,
             _to_area(pdf_dir, prev_p, it.p, it.ns))
+        if i == 0 and infinite0 is not None:
+            # infinite-light origin (env/directional/constant): the first
+            # segment is a parallel beam from the bounding disk — density
+            # per area is pdf_pos * |cos|, no 1/d^2 (vertex.h:272 analog of
+            # PBRT's infinite-light convention)
+            pdf_inf = pdf_dir * jnp.abs(m.dot(it.ns, cur_d))
+            pdf_fwd = jnp.where(infinite0, pdf_inf, pdf_fwd)
         v = dict(
             p=it.p, ns=it.ns, ng=it.ng, ss=it.ss, ts=it.ts_, uv=it.uv,
             shape=it.shape, wi_local=it.wi_local, bp=bparams,
@@ -171,6 +188,12 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
                              _to_area(pdf_rev_sa, it.p, prev_p, prev_n))
         if i == 0:
             start_rev = prev_rev  # reverse density at the subpath origin
+            if infinite0 is not None:
+                # toward an infinite origin the reverse density stays in
+                # solid angle (directions are the measure at infinity)
+                start_rev = jnp.where(
+                    infinite0, jnp.where(bs.delta, 0.0, pdf_rev_sa),
+                    start_rev)
         else:
             verts[i - 1]["pdf_rev"] = jnp.where(
                 valid, prev_rev, verts[i - 1]["pdf_rev"])
@@ -191,7 +214,8 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
         n0 = start_p.shape[0]
         escape = dict(d=d, beta=beta0, pdf_dir=pdf_dir0,
                       escaped=jnp.zeros((n0,), bool),
-                      delta=jnp.zeros((n0,), bool))
+                      delta=jnp.zeros((n0,), bool),
+                      i=jnp.full((n0,), -1, Int))
         start_rev = jnp.zeros((n0,), Float)
     return verts, s, escape, start_rev
 
@@ -233,10 +257,59 @@ def sample_light_origin(scene: Scene, u_sel, u_pos, u_dir):
     pdf_dir = jnp.zeros(shape, Float)
     delta = jnp.zeros(shape, bool)
     alive = jnp.zeros(shape, bool)
+    infinite = jnp.zeros(shape, bool)
+
+    # infinite emitters (env/constant/directional, vertex.h:272 analog):
+    # direction first, then a point on the perpendicular bounding disk;
+    # the returned pdf slots follow the infinite-light convention —
+    # pdf_fwd = sel_pmf * pdf_dir (solid angle), pdf_dir slot = disk pdf.
+    r_w = emt.bsphere_radius * 1.05 + 1e-4
+    c_w = emt.bsphere_center
+    disk_pdf = 1.0 / (jnp.pi * r_w * r_w)
+
+    def disk_origin(d_prop):
+        fr = m.Frame.from_normal(d_prop)
+        rr = jnp.sqrt(jnp.maximum(u_pos[..., 0], 0.0)) * r_w
+        ph = 2.0 * jnp.pi * u_pos[..., 1]
+        off = jnp.stack([rr * jnp.cos(ph), rr * jnp.sin(ph),
+                         jnp.zeros_like(rr)], axis=-1)
+        return c_w - d_prop * r_w + m.Frame.to_world(fr, off)
 
     for t in emt.used_types:
         sel = etype == t
-        if t == em.EM_AREA:
+        if t in (em.EM_ENVMAP, em.EM_CONSTANT, em.EM_DIRECTIONAL):
+            if t == em.EM_ENVMAP:
+                uv, pdf_uv = emt.env_dist.sample_continuous(u_dir)
+                w_esc = em._env_dir_from_uv(emt, uv)  # toward the env
+                theta = uv[..., 1] * jnp.pi
+                sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+                pdir = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+                rad = em._env_lookup(emt, uv, eb["radiance"])
+                is_delta = jnp.zeros(shape, bool)
+            elif t == em.EM_CONSTANT:
+                w_esc = warp.square_to_uniform_sphere(u_dir)
+                pdir = jnp.full(shape, warp.INV_FOURPI, Float)
+                rad = jnp.broadcast_to(eb["radiance"], shape + (3,))
+                is_delta = jnp.zeros(shape, bool)
+            else:  # directional: delta direction, irradiance payload
+                w_esc = jnp.broadcast_to(-eb["direction"], shape + (3,))
+                pdir = jnp.ones(shape, Float)
+                rad = jnp.broadcast_to(eb["intensity"], shape + (3,))
+                is_delta = jnp.ones(shape, bool)
+            d_prop = -w_esc
+            p_s = disk_origin(d_prop)
+            msk = sel[..., None]
+            p = jnp.where(msk, p_s, p)
+            n = jnp.where(msk, d_prop, n)
+            d = jnp.where(msk, d_prop, d)
+            le = jnp.where(msk, rad, le)
+            pdf_pos = jnp.where(sel, pdir, pdf_pos)       # -> pdf_fwd slot
+            pdf_dir = jnp.where(sel, jnp.broadcast_to(disk_pdf, shape),
+                                pdf_dir)                  # -> step density
+            delta = delta | (sel & is_delta)
+            infinite = infinite | sel
+            alive = alive | sel
+        elif t == em.EM_AREA:
             p_s, n_s, pdf_a = em._sample_area_position(emt, scene.geom, eid,
                                                        u_pos, eb)
             d_loc = warp.square_to_cosine_hemisphere(u_dir)
@@ -268,12 +341,12 @@ def sample_light_origin(scene: Scene, u_sel, u_pos, u_dir):
             pdf_dir = jnp.where(sel, 1.0 / (4.0 * jnp.pi), pdf_dir)
             delta = delta | sel
             alive = alive | sel
-        # env/constant/directional/collimated: lane stays dead
+        # collimated: measure-zero beam, lane stays dead
 
     return dict(
         p=p, ns=n, d=d, le=le, sel_pmf=sel_pmf, pdf_pos=pdf_pos,
         pdf_dir=pdf_dir, pdf_fwd=sel_pmf * pdf_pos, delta=delta,
-        valid=alive, emitter=eid,
+        valid=alive, emitter=eid, infinite=infinite,
         pdf_rev=jnp.zeros(shape, Float),
     )
 
@@ -406,7 +479,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     beta_l = jnp.where(lv0["valid"][..., None], beta_l, 0.0)
     light_tail, s, _lesc, l0_rev = random_walk(
         scene, s, lv0["p"], lv0["d"], beta_l, lv0["pdf_dir"],
-        max(max_depth - 1, 0), lv0["p"], lv0["ns"], adjoint=True)
+        max(max_depth - 1, 0), lv0["p"], lv0["ns"], adjoint=True,
+        infinite0=lv0["infinite"])
     lv0 = dict(lv0)
     lv0["pdf_rev"] = l0_rev
     light_vs = [lv0] + light_tail
@@ -447,17 +521,43 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         li = li + jnp.where(has_em[..., None], v["beta"] * Le * w[..., None],
                             0.0)
 
-    # --- env escape (s=0 with the environment): balance vs NEE -----------
+    # --- env escape: s=0 with the environment as a pseudo-vertex at
+    # infinity, weighted uniformly against NEE-env AND the light-subpath
+    # connection strategies (solid-angle measure at the infinite vertex)
     if emt.env_index >= 0 or em.EM_CONSTANT in emt.used_types:
         env_val = em.eval_environment(emt, esc["d"])
         env_pdf = em.pdf_direct_env(emt, esc["d"])
-        w_env = jnp.where(
-            esc_primary | esc["delta"], 1.0,
-            esc["pdf_dir"] / jnp.maximum(esc["pdf_dir"] + env_pdf, 1e-20))
-        if hide_emitters:
-            w_env = jnp.where(esc_primary, 0.0, w_env)
-        li = li + jnp.where(esc["escaped"][..., None],
-                            esc["beta"] * env_val * w_env[..., None], 0.0)
+        r_w = emt.bsphere_radius * 1.05 + 1e-4
+        disk_pdf = 1.0 / (jnp.pi * r_w * r_w)
+        for ti in range(T + 1):
+            mask = esc["escaped"] & (esc["i"] == ti)
+            if ti == 0:
+                # primary escape: only one strategy exists
+                w = jnp.where(mask, 1.0, 0.0)
+                if hide_emitters:
+                    w = jnp.zeros_like(w)
+                li = li + jnp.where(mask[..., None],
+                                    esc["beta"] * env_val * w[..., None], 0.0)
+                continue
+            env_v = dict(
+                p=eye_vs[ti - 1]["p"],  # placeholder (unused: ratios are SA)
+                pdf_fwd=jnp.where(esc["delta"], 0.0, esc["pdf_dir"]),
+                pdf_rev=env_pdf,  # direct env sampling density (SA)
+                delta=esc["delta"], valid=mask,
+            )
+            prev = eye_vs[ti - 1]
+            overrides = {
+                # light-walk alternative lands on the previous eye vertex
+                # with disk density x |cos|
+                ("eye", ti): jnp.where(
+                    mask, disk_pdf * jnp.abs(m.dot(prev["ns"], esc["d"])),
+                    prev["pdf_rev"]),
+            }
+            mis_eye = [cam_v] + eye_vs[:ti] + [env_v]
+            w = mis_weight(scene, [], mis_eye, 0, ti + 2, overrides)
+            w = jnp.where(esc["delta"], 1.0, w)
+            li = li + jnp.where(mask[..., None],
+                                esc["beta"] * env_val * w[..., None], 0.0)
 
     # --- s=1: NEE from each eye vertex ------------------------------------
     for ti in range(T):
@@ -476,15 +576,27 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
 
         q_p = v["p"] + ds.d * ds.dist[..., None]
         cos_q = jnp.abs(m.dot(ds.n, -ds.d))
+        eid_c = jnp.clip(ds.emitter, 0, emt.type.shape[0] - 1)
+        et_q = emt.type[eid_c]
+        inf_q = ((et_q == em.EM_ENVMAP) | (et_q == em.EM_CONSTANT)
+                 | (et_q == em.EM_DIRECTIONAL))
         q_fwd = jnp.where(ds.delta, ds.pdf,
                           ds.pdf * cos_q / jnp.maximum(ds.dist ** 2, 1e-20))
-        q_rev = _to_area(bsdf_pdf(v["bp"], v["wi_local"], wo_local),
-                         v["p"], q_p, ds.n)
+        # infinite emitters: keep the solid-angle measure at the pseudo
+        # vertex (matches the light-origin convention)
+        q_fwd = jnp.where(inf_q & ~ds.delta, ds.pdf, q_fwd)
+        bsdf_rev_sa = bsdf_pdf(v["bp"], v["wi_local"], wo_local)
+        q_rev = _to_area(bsdf_rev_sa, v["p"], q_p, ds.n)
+        q_rev = jnp.where(inf_q, bsdf_rev_sa, q_rev)
         q_v = dict(p=q_p, ns=ds.n, pdf_fwd=q_fwd, pdf_rev=q_rev,
                    delta=ds.delta, valid=ok, emitter=ds.emitter)
+        r_w1 = emt.bsphere_radius * 1.05 + 1e-4
+        disk_pdf1 = 1.0 / (jnp.pi * r_w1 * r_w1)
         overrides = {
-            ("eye", ti + 1): pdf_light_dir_area(
-                scene, ds.emitter, q_p, ds.n, v["p"], v["ns"], ok),
+            ("eye", ti + 1): jnp.where(
+                inf_q, disk_pdf1 * jnp.abs(m.dot(v["ns"], ds.d)),
+                pdf_light_dir_area(
+                    scene, ds.emitter, q_p, ds.n, v["p"], v["ns"], ok)),
         }
         if ti >= 1:
             pm = eye_vs[ti - 1]
@@ -511,12 +623,17 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         ok = v["valid"] & vis & ~occ
         val = v["beta"] * f * (We / jnp.maximum(dist * dist, 1e-20))[..., None]
 
+        rev_prev = _to_area(
+            bsdf_pdf(v["bp"], wo_local, v["wi_local"]), v["p"],
+            light_vs[si - 1]["p"], light_vs[si - 1]["ns"])
+        if si - 1 == 0:
+            rev_prev = jnp.where(
+                lv0["infinite"],
+                bsdf_pdf(v["bp"], wo_local, v["wi_local"]), rev_prev)
         overrides = {
             ("light", si): _to_area(camera_pdf_dir(scene, -d_vc), cam_p,
                                     v["p"], v["ns"]),
-            ("light", si - 1): _to_area(
-                bsdf_pdf(v["bp"], wo_local, v["wi_local"]), v["p"],
-                light_vs[si - 1]["p"], light_vs[si - 1]["ns"]),
+            ("light", si - 1): rev_prev,
         }
         w = mis_weight(scene, light_vs[: si + 1], [cam_v], si + 1, 1,
                        overrides)
@@ -543,6 +660,13 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             contrib = vp["beta"] * vq["beta"] * f_p * f_q / \
                 jnp.maximum(dist * dist, 1e-20)[..., None]
 
+            rev_prev_q = _to_area(
+                bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), vq["p"],
+                light_vs[si - 1]["p"], light_vs[si - 1]["ns"])
+            if si - 1 == 0:
+                rev_prev_q = jnp.where(
+                    lv0["infinite"],
+                    bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), rev_prev_q)
             overrides = {
                 ("eye", ti + 1): _to_area(
                     bsdf_pdf(vq["bp"], vq["wi_local"], wo_q), vq["p"],
@@ -550,9 +674,7 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
                 ("light", si): _to_area(
                     bsdf_pdf(vp["bp"], vp["wi_local"], wo_p), vp["p"],
                     vq["p"], vq["ns"]),
-                ("light", si - 1): _to_area(
-                    bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), vq["p"],
-                    light_vs[si - 1]["p"], light_vs[si - 1]["ns"]),
+                ("light", si - 1): rev_prev_q,
             }
             if ti >= 1:
                 pm = eye_vs[ti - 1]

@@ -35,6 +35,56 @@ class TestBDPT:
         rel = np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
         assert np.all(rel / ref.mean(axis=(0, 1)) < 0.08)
 
+    def test_env_lit_matches_path(self, tmp_path):
+        """Env-lit scene: light subpaths now start from the environment
+        (vertex.h:272 sampleNext analog), so s>=2 strategies contribute and
+        bdpt must stay in agreement with the path tracer."""
+        from mitsuba_im_tpu.render.job import render
+        import textwrap
+
+        env = "/root/reference/data/tests/envmap.exr"
+        if not os.path.exists(env):
+            pytest.skip("no envmap fixture")
+        xml = textwrap.dedent(f"""\
+        <scene version="0.6.0">
+            <integrator type="path"><integer name="maxDepth" value="4"/></integrator>
+            <sensor type="perspective">
+                <float name="fov" value="50"/>
+                <transform name="toWorld">
+                    <lookat origin="0, 1.2, 3.2" target="0, 0.8, 0" up="0, 1, 0"/>
+                </transform>
+                <film type="hdrfilm">
+                    <integer name="width" value="20"/>
+                    <integer name="height" value="20"/>
+                </film>
+            </sensor>
+            <emitter type="envmap"><string name="filename" value="{env}"/></emitter>
+            <shape type="rectangle">
+                <transform name="toWorld"><rotate x="1" angle="-90"/><scale value="2"/></transform>
+                <bsdf type="diffuse"><rgb name="reflectance" value="0.65 0.5 0.4"/></bsdf>
+            </shape>
+            <shape type="sphere">
+                <point name="center" x="0" y="0.8" z="0"/>
+                <float name="radius" value="0.7"/>
+                <bsdf type="diffuse"><rgb name="reflectance" value="0.3 0.5 0.7"/></bsdf>
+            </shape>
+        </scene>
+        """)
+        p = tmp_path / "envscene.xml"
+        p.write_text(xml)
+        from mitsuba_im_tpu.scene.xml import load_scene
+
+        scene, settings = load_scene(str(p))
+        settings.integrator = "path"
+        settings.integrator_props = {"max_depth": 4}
+        ref = render(scene, settings, spp=512)
+        settings.integrator = "bdpt"
+        img = render(scene, settings, spp=128)
+        assert not np.isnan(img).any()
+        assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
+        rel = np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
+        assert np.all(rel / ref.mean(axis=(0, 1)) < 0.08)
+
     def test_specular_scene(self):
         """Delta-BSDF vertices: MIS remapping must stay finite & unbiased."""
         from mitsuba_im_tpu.render.job import render
