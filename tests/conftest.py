@@ -38,6 +38,14 @@ def pytest_collection_modifyitems(config, items):
         mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
         if mod in QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
+    # `slow` trumps `quick`: the fast tier must actually stay fast, so
+    # heavyweight cases inside quick modules/classes are deselected here
+    if "quick" in (config.option.markexpr or ""):
+        slow = [it for it in items if it.get_closest_marker("slow")]
+        if slow:
+            items[:] = [it for it in items
+                        if not it.get_closest_marker("slow")]
+            config.hook.pytest_deselected(items=slow)
 
 
 @pytest.fixture

@@ -96,3 +96,62 @@ class TestInverseRendering:
         err0 = np.abs(true_refl[:3] - 0.35).mean()
         err1 = np.abs(true_refl[:3] - got[:3]).mean()
         assert err1 < 0.4 * err0, (losses[:3], losses[-3:], got[:3], true_refl[:3])
+
+
+@pytest.mark.quick
+@pytest.mark.slow
+def test_shading_grads_flow_on_hierarchy_scene(rng):
+    """Gradient-boundary contract (README differentiability row): scenes
+    above BRUTE_FORCE_MAX trace hits under stop_gradient, but shading-side
+    gradients (albedo here) must still flow through the hierarchy path."""
+    import jax
+    import jax.numpy as jnp
+    from mitsuba_im_tpu.scene.build import SceneBuilder
+    from mitsuba_im_tpu.scene.mesh import TriMesh
+    from mitsuba_im_tpu.core.registry import create as reg_create
+    from mitsuba_im_tpu.core.properties import Properties
+    from mitsuba_im_tpu.core.transform import Transform
+    from mitsuba_im_tpu.sensor.table import make_sensor, S_PERSPECTIVE
+    from mitsuba_im_tpu.core import rng as mrng
+    from mitsuba_im_tpu.core.types import Float
+    from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
+    from mitsuba_im_tpu.sensor.table import sample_ray_v
+
+    # ~1300-triangle displaced sphere: comfortably above BRUTE_FORCE_MAX
+    from bench_scenes import _displaced_sphere
+
+    pos, idx = _displaced_sphere(1300)
+    b = SceneBuilder()
+    mat = Properties("diffuse")
+    mat.set("reflectance", [0.6, 0.4, 0.3])
+    bid = b.add_bsdf(reg_create("bsdf", mat, b))
+    sid = b.new_shape(bid)
+    b.add_trimesh(TriMesh(pos, idx).compute_normals(), sid)
+    ep = Properties("constant")
+    b.add_emitter(reg_create("emitter", ep, b))
+    b.sensor = make_sensor(
+        S_PERSPECTIVE, Transform.look_at([0, 0.05, 0.35], [0, 0, 0],
+                                         [0, 1, 0]), fov_deg=40.0)
+    scene, _settings = b.build()
+    assert scene.clusters is not None or scene.use_bvh  # large-scene path
+
+    W = H = 16
+    n = W * H
+    cfg = PathConfig(max_depth=2, remat=False)
+
+    def loss(refl):
+        sc = scene.replace(bsdfs=scene.bsdfs.replace(refl=refl))
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        sampler = mrng.make_sampler_v(pix, jnp.uint32(0), jnp.uint32(0))
+        sampler, blk0 = mrng.next_block4_v(sampler)
+        uu = ((pix % W).astype(Float) + blk0[0]) / W
+        vv = ((pix // W).astype(Float) + blk0[1]) / H
+        o, d, _w = sample_ray_v(scene.sensor, uu, vv, blk0[2], blk0[3])
+        li, _ = path_li_v(sc, sampler, o, d, cfg)
+        return li.sum().sum()
+
+    g = jax.grad(loss)(scene.bsdfs.refl)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    # the sphere's albedo receives a strictly positive derivative
+    assert g[0].sum() > 1e-3

@@ -41,6 +41,7 @@ class TestHierarchy:
         np.testing.assert_array_equal(
             np.asarray(st["prim"])[m], np.asarray(hb.prim)[m])
 
+    @pytest.mark.slow
     def test_tail_refill_driver(self, rng):
         """Force the large-N compaction driver (front < N) and compare with
         the lockstep path and brute force."""
@@ -65,6 +66,7 @@ class TestHierarchy:
                                      front=128, k_inner=3)
         np.testing.assert_array_equal(occ_b, np.asarray(sta["found"]))
 
+    @pytest.mark.slow
     def test_active_mask(self, rng):
         """Masked-off lanes retire with no-hit results at zero cost."""
         p0, e1, e2 = random_tri_soup(3000, rng)

@@ -24,6 +24,7 @@ def _rot_y(deg):
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_hierarchy_instanced_matches_expanded(rng):
     p0, e1, e2 = random_tri_soup(20000, rng)
     mats = [

@@ -113,6 +113,7 @@ class TestOtherCodecs:
 
 
 @pytest.mark.skipif(not os.path.exists(ENVMAP), reason="no reference data")
+@pytest.mark.slow
 class TestEnvmapSampling:
     def test_importance_sampling_integral(self):
         """E[L/pdf] over envmap NEE samples equals the direct integral of

@@ -78,6 +78,7 @@ class TestMipPyramid:
 
 @pytest.mark.quick
 class TestGrazingCheckerboard:
+    @pytest.mark.slow
     def test_mip_reduces_grazing_aliasing(self):
         """BASELINE 'textured' config regime: a grazing checkered floor.
         With ray differentials the far field converges to the 0.5 mean;

@@ -1,5 +1,6 @@
 """mtsimport converter tests (reference src/converter/ parity): OBJ+MTL ->
 multi-shape .serialized + scene XML, loadable and renderable."""
+import pytest
 import os
 
 import numpy as np
@@ -60,6 +61,7 @@ def test_grouped_parse(tmp_path):
     assert mats["glow"]["Ke"] == [5, 4, 3]
 
 
+@pytest.mark.slow
 def test_convert_and_render(tmp_path):
     obj = _write_fixture(tmp_path)
     xml = os.path.join(str(tmp_path), "scene.xml")

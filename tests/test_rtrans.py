@@ -63,6 +63,7 @@ class TestTables:
 
 
 class TestRoughPlastic:
+    @pytest.mark.slow
     def test_eval_energy_bounded(self):
         # hemispherical reflectance of roughplastic stays <= 1 (the whole
         # point of the transmittance tables; roughplastic.cpp:373-382)

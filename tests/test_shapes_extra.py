@@ -181,6 +181,7 @@ class TestDeformable:
         open(p, "w").write(xml)
         return load_scene(p)
 
+    @pytest.mark.slow
     def test_motion_blur_sweeps(self, tmp_path):
         from mitsuba_im_tpu.render.job import render
 

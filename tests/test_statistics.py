@@ -1,5 +1,6 @@
 """Statistics counters / progress / logger
 (reference include/mitsuba/core/statistics.h, logger.h capability)."""
+import pytest
 import io
 import sys, os
 
@@ -54,6 +55,7 @@ class TestCounters:
         b = st.counter("TestCat", "same")
         assert a is b
 
+    @pytest.mark.slow
     def test_render_records_counters(self):
         """render_film publishes Render counters (renderjob stats analog)."""
         from __graft_entry__ import _tiny_cornell

@@ -99,6 +99,7 @@ class TestDipoleRender:
 
 @pytest.mark.quick
 class TestSingleScatter:
+    @pytest.mark.slow
     def test_translucent_sphere_single(self):
         """Real refracted-ray single scattering: glows, is unbiased-ish
         (no NaN), and differs from the dipole answer."""
@@ -150,6 +151,7 @@ class TestSingleScatter:
 
 @pytest.mark.quick
 class TestBinnedGather:
+    @pytest.mark.slow
     def test_grid_matches_dense(self):
         """Hash-grid culled gather (irrtree octree analog) agrees with the
         exact dense sum when the 27-cell neighborhood covers the kernel."""

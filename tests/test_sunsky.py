@@ -102,6 +102,7 @@ class TestSunRadiance:
 
 
 class TestSceneIntegration:
+    @pytest.mark.slow
     def test_sunsky_scene_renders(self, tmp_path):
         xml = """<scene version="0.6.0">
   <integrator type="path"><integer name="maxDepth" value="3"/></integrator>

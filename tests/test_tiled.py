@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 @pytest.mark.quick
 class TestTiledFilm:
+    @pytest.mark.slow
     def test_matches_full_frame(self, tmp_path):
         from __graft_entry__ import _tiny_cornell
         from mitsuba_im_tpu.render.job import render_film

@@ -21,6 +21,7 @@ def cornell():
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_eye_walk_invariants(cornell):
     from mitsuba_im_tpu.core import rng as mrng
     from mitsuba_im_tpu.core.types import Float
@@ -44,6 +45,7 @@ def test_eye_walk_invariants(cornell):
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_light_walk_invariants(cornell):
     from mitsuba_im_tpu.core import rng as mrng
     from mitsuba_im_tpu.core.types import Float
@@ -73,6 +75,7 @@ def test_light_walk_invariants(cornell):
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_mcmc_replay_bitwise(cornell):
     """The MLT/PSSMLT proposal machinery replays paths through a stateless
     counter sampler: identical inputs must reproduce identical radiance."""
