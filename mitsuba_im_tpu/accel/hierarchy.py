@@ -76,9 +76,12 @@ class Hierarchy:
     inst_inv: jax.Array  # (I, 3, 4) world->local affine transforms
     inst_fwd: jax.Array  # (I, 3, 4) local->world
     sup_blas: jax.Array  # (S_pad,) world super -> BLAS super row (instanced)
+    blocks1: jax.Array = None  # (C, ROW) frame-1 rows (deformable motion)
+    time: jax.Array = None     # () shutter time in [0,1] (deformable motion)
     n_supers: int = static_field(default=0)
     n_tris: int = static_field(default=0)
     indirect: bool = static_field(default=False)  # sup_blas indirection live
+    has_motion: bool = static_field(default=False)
 
 
 def _pack_leaves(flat, soup, tri_ids=None):
@@ -113,8 +116,11 @@ def _pack_leaves(flat, soup, tri_ids=None):
     return node_lo[leaves], node_hi[leaves], rows
 
 
-def _pack_supers(cl_lo, cl_hi, rows):
-    """Second SAH level: cluster AABBs -> supers; returns packed tables."""
+def _pack_supers(cl_lo, cl_hi, rows, rows_extra=()):
+    """Second SAH level: cluster AABBs -> supers; returns packed tables.
+
+    ``rows_extra``: additional row matrices sharing the cluster order
+    (deformable frame-1 blocks) reordered identically."""
     from . import bvh as bvh_mod
 
     C = cl_lo.shape[0]
@@ -138,12 +144,20 @@ def _pack_supers(cl_lo, cl_hi, rows):
     ch = ch.transpose(0, 2, 1)  # (S, 6, SUP)
 
     # block rows re-ordered so super s owns rows [s*SUP, (s+1)*SUP)
-    blocks = np.zeros((S * SUP, ROW), np.float32)
     flatmask = cmask.reshape(-1)
-    blocks[flatmask] = rows[cids.reshape(-1)[flatmask]]
+    src = cids.reshape(-1)[flatmask]
 
+    def reorder(r):
+        out = np.zeros((S * SUP, ROW), np.float32)
+        out[flatmask] = r[src]
+        return out
+
+    blocks = reorder(rows)
+    extra = tuple(reorder(r) for r in rows_extra)
     sup_lo = flat2["node_lo"][sup]
     sup_hi = flat2["node_hi"][sup]
+    if rows_extra:
+        return sup_lo, sup_hi, ch.reshape(S, CROW), blocks, extra
     return sup_lo, sup_hi, ch.reshape(S, CROW), blocks
 
 
@@ -183,7 +197,74 @@ def build_hierarchy(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         blocks=jnp.asarray(blocks, Float),
         inst_inv=jnp.asarray(ident, Float), inst_fwd=jnp.asarray(ident, Float),
         sup_blas=jnp.zeros((1,), Int),
+        blocks1=jnp.zeros((1, 1), Float), time=jnp.zeros((), Float),
         n_supers=int(sup_lo.shape[0]), n_tris=int(len(p0)),
+    )
+
+
+def build_hierarchy_motion(p0, e1, e2, q0, f1, f2) -> Hierarchy:
+    """Deformable two-keyframe hierarchy (the reference's space-time kd-tree
+    regime, ``/root/reference/include/mitsuba/render/sahkdtree4.h:113``).
+
+    TPU redesign: one SAH build over the UNION of the two keyframes'
+    triangle AABBs (boxes valid for every shutter time), with both frames'
+    packed block tables sharing the cluster order; at traversal time the
+    wavefront's shared shutter time lerps the gathered rows, so a
+    progressive render stratifies times across passes with zero per-ray
+    machinery and no brute-force fallback at any scale."""
+    from . import bvh as bvh_mod
+
+    p0 = np.asarray(p0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    q0 = np.asarray(q0, np.float32)
+    f1 = np.asarray(f1, np.float32)
+    f2 = np.asarray(f2, np.float32)
+    soup_a = np.concatenate([p0, e1, e2], axis=1)
+    soup_b = np.concatenate([q0, f1, f2], axis=1)
+
+    lo_a, hi_a = bvh_mod.tri_bounds(p0, e1, e2)
+    lo_b, hi_b = bvh_mod.tri_bounds(q0, f1, f2)
+    lo = np.minimum(lo_a, lo_b)
+    hi = np.maximum(hi_a, hi_b)
+    flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=LEAF)
+    # union cluster bounds come from the union primitive boxes: re-derive
+    # leaf AABBs per frame and take the min/max
+    cl_lo_a, cl_hi_a, rows_a = _pack_leaves(flat, soup_a)
+    # frame-B leaves share `flat` (same order); recompute via a union pass
+    node_count = flat["node_count"]; node_start = flat["node_start"]
+    order = flat["order"]
+    leaves = np.nonzero(node_count > 0)[0]
+    k = np.arange(LEAF)[None, :]
+    vmask = k < node_count[leaves][:, None]
+    idx = np.minimum(node_start[leaves][:, None] + k, len(order) - 1)
+    ids = np.where(vmask, order[idx], 0)
+    cl_lo_b = np.where(vmask[..., None], lo_b[ids], np.inf).min(1)
+    cl_hi_b = np.where(vmask[..., None], hi_b[ids], -np.inf).max(1)
+    rows_b = np.empty_like(rows_a)
+    tris_b = np.where(vmask[:, :, None], soup_b[ids], 0.0).astype(np.float32)
+    rows_b[:, : LEAF * 9] = tris_b.transpose(0, 2, 1).reshape(
+        len(leaves), LEAF * 9)
+    rows_b[:, LEAF * 9:] = rows_a[:, LEAF * 9:]
+    cl_lo = np.minimum(cl_lo_a, cl_lo_b)
+    cl_hi = np.maximum(cl_hi_a, cl_hi_b)
+
+    sup_lo, sup_hi, childs, blocks, (blocks1,) = _pack_supers(
+        cl_lo, cl_hi, rows_a, rows_extra=(rows_b,))
+    swp_lo, swp_hi = _pad_sweep(sup_lo, sup_hi)
+    S_pad = swp_lo.shape[1]
+    ident = np.concatenate([np.eye(3, dtype=np.float32),
+                            np.zeros((3, 1), np.float32)], axis=1)[None]
+    return Hierarchy(
+        swp_lo=jnp.asarray(swp_lo, Float), swp_hi=jnp.asarray(swp_hi, Float),
+        sup_inst=jnp.zeros((S_pad,), Int),
+        childs=jnp.asarray(childs, Float),
+        blocks=jnp.asarray(blocks, Float),
+        inst_inv=jnp.asarray(ident, Float), inst_fwd=jnp.asarray(ident, Float),
+        sup_blas=jnp.zeros((1,), Int),
+        blocks1=jnp.asarray(blocks1, Float), time=jnp.zeros((), Float),
+        n_supers=int(sup_lo.shape[0]), n_tris=int(len(p0)),
+        has_motion=True,
     )
 
 
@@ -453,7 +534,15 @@ def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh):
                    h.blocks.shape[0] - 1)
 
     row = h.blocks[cid]                         # (M, ROW) one packed gather
-    comp = [row[:, c * LEAF : (c + 1) * LEAF] for c in range(9)]
+    if h.has_motion:
+        # deformable: lerp the geometric columns between the keyframe
+        # tables at the wavefront's shared shutter time (ids stay frame-0)
+        row1 = h.blocks1[cid]
+        comp = [(1.0 - h.time) * row[:, c * LEAF:(c + 1) * LEAF]
+                + h.time * row1[:, c * LEAF:(c + 1) * LEAF]
+                for c in range(9)]
+    else:
+        comp = [row[:, c * LEAF : (c + 1) * LEAF] for c in range(9)]
     p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = comp
     pids = jax.lax.bitcast_convert_type(row[:, LEAF * 9 :], Int)
 

@@ -315,7 +315,8 @@ def intersect(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
         return intersect_brute(geom, o, d, tmin, tmax)
 
     R = o.shape[0]
-    if clusters is not None and (_use_pallas() or _indirect(clusters)):
+    if clusters is not None and (_use_pallas() or _indirect(clusters)
+                                 or bvh is None):
         sg = jax.lax.stop_gradient
         st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
                                 active=active)
@@ -508,9 +509,9 @@ def occluded(geom: Geometry, o, d, tmin, tmax, bvh: FlatBVH | None = None,
              clusters=None, active=None) -> jax.Array:
     """Any-hit (shadow ray) query -> bool per ray."""
     R = o.shape[0]
-    if clusters is not None and (
-            (_use_pallas() and geom.n_tris > BRUTE_FORCE_MAX)
-            or _indirect(clusters)):
+    if clusters is not None and (_indirect(clusters) or (
+            geom.n_tris > BRUTE_FORCE_MAX
+            and (_use_pallas() or bvh is None))):
         sg = jax.lax.stop_gradient
         st = _dispatch_clusters(clusters, sg(o), sg(d), sg(tmin), sg(tmax),
                                 any_hit=True, active=active)

@@ -345,13 +345,20 @@ class SceneBuilder:
         # BVH + clusters (built only when the soup beats brute force)
         n_tris = geom.n_tris
         clusters = inst_clusters
-        if self.has_motion and n_tris > BRUTE_FORCE_MAX:
-            from ..core.registry import warn_substitution
+        if (self.has_motion and n_tris > BRUTE_FORCE_MAX
+                and motion is not None):
+            # deformable large scene: union-AABB hierarchy over the shutter
+            # with both keyframes' block tables (sahkdtree4.h:113 regime)
+            from ..accel.hierarchy import build_hierarchy_motion
 
-            warn_substitution(
-                "accel", "deformable scenes above the brute-force "
-                "threshold fall back to all-primitive testing (the static "
-                "hierarchy cannot cover moving triangles yet)")
+            clusters = build_hierarchy_motion(
+                np.asarray(geom.tri_p0)[:n_tris],
+                np.asarray(geom.tri_e1)[:n_tris],
+                np.asarray(geom.tri_e2)[:n_tris],
+                np.asarray(motion["p0"])[:n_tris],
+                np.asarray(motion["e1"])[:n_tris],
+                np.asarray(motion["e2"])[:n_tris],
+            )
         if (n_tris > BRUTE_FORCE_MAX and not self.has_motion
                 and clusters is None):
             from ..accel.hierarchy import build_hierarchy

@@ -59,7 +59,14 @@ class Scene:
             tri_n1=L(g.tri_n1, self.motion["n1"]),
             tri_n2=L(g.tri_n2, self.motion["n2"]),
         )
-        return self.replace(geom=geom)
+        out = self.replace(geom=geom)
+        if (self.clusters is not None
+                and getattr(self.clusters, "has_motion", False)):
+            import jax.numpy as jnp
+
+            out = out.replace(clusters=self.clusters.replace(
+                time=jnp.asarray(t, geom.tri_p0.dtype)))
+        return out
 
     # -- queries (scene.h rayIntersect / isOccluded analogs) ---------------
     def ray_intersect(self, o, d, tmin=EPSILON, tmax=1e30) -> Hit:

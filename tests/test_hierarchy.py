@@ -132,3 +132,40 @@ class TestHierarchy:
         m = np.asarray(st_bvh["found"])
         np.testing.assert_allclose(
             np.asarray(st_h["t"])[m], np.asarray(st_bvh["t"])[m], rtol=1e-4)
+
+
+@pytest.mark.quick
+class TestMotionHierarchy:
+    """Deformable two-keyframe hierarchy (sahkdtree4.h:113 regime): union
+    AABBs over the shutter + per-pass lerped block tables."""
+
+    def _soup_pair(self, rng, n):
+        p0, e1, e2 = random_tri_soup(n, rng)
+        # frame 1: swirl + translate the soup
+        q0 = p0 + 0.3 * np.sin(p0[:, ::-1] * 3.0) + np.array([0.2, -0.1, 0.15])
+        f1 = e1 * 1.1
+        f2 = e2 * 0.9
+        return (p0, e1, e2), (q0.astype(np.float32), f1, f2)
+
+    @pytest.mark.parametrize("t", [0.0, 0.37, 1.0])
+    def test_matches_lerped_brute(self, rng, t):
+        (p0, e1, e2), (q0, f1, f2) = self._soup_pair(rng, 4000)
+        h = hy.build_hierarchy_motion(p0, e1, e2, q0, f1, f2)
+        assert h.has_motion
+        h = h.replace(time=jnp.asarray(t, jnp.float32))
+        # lerped soup ground truth
+        L = lambda a, b: a + (b - a) * np.float32(t)
+        g = make_geom(L(p0, q0), L(e1, f1), L(e2, f2))
+        o, d = _rand_rays(rng, 768)
+        hb = isect.intersect_brute(g, o, d, 1e-4, 1e30)
+        st = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30)
+        hitb = np.asarray(hb.kind == geo.KIND_TRI)
+        np.testing.assert_array_equal(hitb, np.asarray(st["found"]))
+        m = hitb
+        np.testing.assert_allclose(
+            np.asarray(st["t"])[m], np.asarray(hb.t)[m], rtol=2e-4,
+            atol=1e-5)
+        occ_b = np.asarray(isect.intersect_brute(g, o, d, 1e-4, 6.0).kind
+                           != geo.KIND_NONE)
+        sta = hy.intersect_hierarchy(h, o, d, 1e-4, 6.0, any_hit=True)
+        np.testing.assert_array_equal(occ_b, np.asarray(sta["found"]))

@@ -218,3 +218,43 @@ class TestDeformable:
         p0_a = np.asarray(scene.geom.tri_p0)
         p0_b = np.asarray(scene.motion["p0"])
         np.testing.assert_allclose(p0, 0.5 * (p0_a + p0_b), atol=1e-6)
+
+
+class TestLargeDeformable:
+    @pytest.mark.slow
+    def test_large_deformable_uses_motion_hierarchy(self, tmp_path):
+        """Above BRUTE_FORCE_MAX a deformable scene now builds the
+        union-AABB motion hierarchy instead of warning + brute fallback."""
+        import numpy as np
+        from mitsuba_im_tpu.scene.build import SceneBuilder
+        from mitsuba_im_tpu.scene.mesh import TriMesh
+        from mitsuba_im_tpu.core.registry import create as reg_create
+        from mitsuba_im_tpu.core.properties import Properties
+        from mitsuba_im_tpu.core.transform import Transform
+        from mitsuba_im_tpu.sensor.table import make_sensor, S_PERSPECTIVE
+        from bench_scenes import _displaced_sphere
+
+        pos, idx = _displaced_sphere(1500)
+        pos2 = pos + np.array([0.05, 0.0, 0.0]) + 0.01 * np.sin(pos * 9)
+        b = SceneBuilder()
+        bid = b.add_bsdf(reg_create("bsdf", Properties("diffuse"), b))
+        sid = b.new_shape(bid)
+        b.add_trimesh_motion(TriMesh(pos, idx).compute_normals(),
+                             TriMesh(pos2, idx).compute_normals(), sid)
+        b.add_emitter(reg_create("emitter", Properties("constant"), b))
+        b.sensor = make_sensor(
+            S_PERSPECTIVE,
+            Transform.look_at([0, 0.05, 0.4], [0, 0, 0], [0, 1, 0]),
+            fov_deg=40.0)
+        scene, settings = b.build()
+        assert scene.clusters is not None and scene.clusters.has_motion
+        # shutter snapshot wires the time into the hierarchy
+        s_half = scene.with_time(0.5)
+        assert float(s_half.clusters.time) == 0.5
+        # smoke render
+        from mitsuba_im_tpu.render.job import render
+
+        settings.width = settings.height = 12
+        settings.spp = 2
+        img = np.asarray(render(scene, settings))
+        assert np.isfinite(img).all() and img.mean() > 0.01
