@@ -43,8 +43,15 @@ steps — at equal low sample budgets the path tracer's stratified NEE
 resolves such caustics with lower error than this (or any
 primary-sample-space) MCMC.  The reference closes that gap with
 explicit-geometry caustic/manifold perturbations that re-solve the light
-connection each proposal (``mut_caustic.cpp``, ``mut_manifold.cpp``);
-porting those onto the SoA path representation is the known upgrade path.
+connection each proposal (``mut_caustic.cpp``, ``mut_manifold.cpp``).
+The batched Newton manifold walk those mutators need already exists here
+(:mod:`mitsuba_im_tpu.bidir.manifold`, covered by the path-verification
+harness); what is deliberately NOT wired is the Metropolis transition
+density of a manifold proposal (the reference's ``Mutator::Q`` with the
+manifold-map determinant) — an incorrect Q biases every MLT render,
+which is strictly worse than the variance this deviation costs, so the
+PSS mixture remains the proposal set until the Q bookkeeping can be
+built and verified end to end.
 MLT's wins here are hard-visibility *exploration* (once found, a path
 family is exploited by perturbation) and robustness at high mutation
 budgets.
