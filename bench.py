@@ -179,9 +179,22 @@ def bench_large_scene():
 
 def main():
     sys.path.insert(0, ".")
+    # TPU-vs-CPU render parity gate FIRST (round-3 incident: a driver
+    # rewrite passed every CPU test yet changed the TPU render sum by
+    # 22%; this makes that class of bug a red light in every bench run)
+    try:
+        from parity_check import run_parity
+        par = run_parity(verbose=False)
+        parity = dict(metric="tpu_cpu_render_parity", unit="bool",
+                      value=1.0 if par["ok"] else 0.0,
+                      vs_baseline=1.0 if par["ok"] else 0.0,
+                      max_rel=max(c["rel"] for c in par["checks"]))
+    except Exception as e:  # pragma: no cover
+        parity = dict(metric="tpu_cpu_render_parity", unit="bool",
+                      value=0.0, vs_baseline=0.0, error=repr(e)[:200])
     fwd = bench_forward()
     metrics = [dict(metric="cornell_path_rays_per_sec_chip", value=fwd,
-                    unit="rays/s", vs_baseline=fwd / 1e9)]
+                    unit="rays/s", vs_baseline=fwd / 1e9), parity]
     try:
         fb = bench_fwdbwd()
         metrics.append(dict(metric="cornell_path_fwdbwd_rays_per_sec_chip",

@@ -55,8 +55,12 @@ def _displaced_sphere(n_tris_target: int) -> tuple[np.ndarray, np.ndarray]:
     return pos, np.asarray(idx, np.int64)
 
 
-def build_large_scene(res: int = 512):
-    """Scene with ~1M tris + envmap. Returns (scene, (W, H), n_tris)."""
+def build_large_scene(res: int = 512, subdiv: int = 2):
+    """Scene with ~1M tris + envmap. Returns (scene, (W, H), n_tris).
+
+    ``subdiv``: midpoint-subdivision rounds on the bunny (2 -> ~1.1M tris,
+    the bench regime; 0 -> the raw 69k mesh, used by the parity gate where
+    a CPU-backend render must stay cheap)."""
     from mitsuba_im_tpu.scene.build import SceneBuilder
     from mitsuba_im_tpu.scene.mesh import TriMesh, load_ply
     from mitsuba_im_tpu.core.transform import Transform
@@ -70,10 +74,11 @@ def build_large_scene(res: int = 512):
     if os.path.exists(BUNNY):
         base = load_ply(BUNNY)
         pos, idx = subdivide_midpoint(
-            np.asarray(base.positions), np.asarray(base.indices), rounds=2)
+            np.asarray(base.positions), np.asarray(base.indices),
+            rounds=subdiv)
         look = ([-0.05, 0.12, 0.25], [-0.02, 0.1, 0], [0, 1, 0])
     else:
-        pos, idx = _displaced_sphere(1_100_000)
+        pos, idx = _displaced_sphere(70_000 * 4 ** subdiv)
         look = ([0.0, 0.05, 0.3], [0, 0, 0], [0, 1, 0])
     mesh = TriMesh(pos, idx).compute_normals()
 

@@ -38,7 +38,15 @@ BIG = 3.0e37
 
 
 def _use_pallas() -> bool:
-    """Pallas kernels on real TPU; interpretable jnp path elsewhere."""
+    """Pallas kernels on real TPU; interpretable jnp path elsewhere.
+
+    Respects ``jax.default_device(cpu)`` overrides so the TPU-vs-CPU
+    parity gate (``parity_check.py``) can trace the CPU variant from a
+    TPU-backed process (Pallas has no CPU lowering outside interpret
+    mode)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) not in ("cpu",)
     return jax.default_backend() not in ("cpu",)
 
 
