@@ -61,6 +61,7 @@ FRONT = 1 << 13     # compaction front (rays stepped per round); above
                     # ~16K lanes XLA stops fusing the (M, SUP) slab/MT
                     # chains (measured 6x step-cost blowup at 32K)
 K_INNER = 2         # traversal steps per compaction round
+PROLOGUE = 1        # full-width traversal steps before the driver starts
 SWEEP_CHUNK = 1024  # supers per dense sweep pass (S <= 1024: single pass)
 SWEEP_ALIGN = 128   # pad S to this multiple (pads cost dense slab lanes)
 IBIG = jnp.iinfo(np.int32).max
@@ -435,6 +436,10 @@ def _make_state(h, o, d, tmin, tmax, active_in=None):
         ig_t=jnp.full((N,), -BIG, Float), ig_c=jnp.full((N,), -1, Int),
         has_super=jnp.zeros((N,), bool),
         active=hits_root,
+        # stale=True marks lanes whose (M, SUP) child-entry cache must be
+        # rebuilt before use (set when a mid-super lane re-enters through
+        # the pending queue, which does not carry the cache)
+        stale=jnp.zeros((N,), bool),
     )
 
 
@@ -464,12 +469,14 @@ def _compute_centry(h, sidc, ol, invl, tmin, t_b):
     return jnp.where((ctn <= ctf) & (ctn < FAR), ctn, BIG)
 
 
-def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh):
+def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh=False):
     """Advance every lane of a state slice by one traversal step.
 
     ``centry_in``: (M, SUP) cached child entries, valid for lanes that kept
-    their super since the cache was filled; ``fresh=True`` (round entry)
-    recomputes it for every lane, otherwise only super-switch lanes do."""
+    their super since the cache was filled (super-switch lanes recompute
+    theirs; the cache is carried across compaction rounds by the driver, so
+    ``fresh=True`` — recompute for every lane — is only needed by callers
+    that cannot carry it)."""
     M = st["o"].shape[0]
     o, d, tmin = st["o"], st["d"], st["tmin"]
     instanced = h.inst_inv.shape[0] > 1
@@ -506,13 +513,14 @@ def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh):
         inst = jnp.zeros((M,), Int)
         ol, dl, invl = o, d, inv_d
 
+    refresh = got | (st["stale"] & st["has_super"] & active)
     if fresh:
         centry = _compute_centry(h, sidc, ol, invl, tmin, t_b)
     else:
         centry = jax.lax.cond(
-            jnp.any(got),
+            jnp.any(refresh),
             lambda c: jnp.where(
-                got[:, None],
+                refresh[:, None],
                 _compute_centry(h, sidc, ol, invl, tmin, t_b), c),
             lambda c: c, centry_in)
     ig_t = jnp.where(got, -BIG, st["ig_t"])
@@ -598,56 +606,88 @@ def _one_step(h: Hierarchy, st, inv_d, centry_in, any_hit, fresh):
         t=t_b, u=u_b, v=v_b, prim=p_b, inst=i_b, found=found,
         sg_t=sg_t, sg_c=sg_c, sidc=sidc,
         ig_t=ig_t, ig_c=ig_c, has_super=has_super, active=active,
+        stale=jnp.zeros_like(st["stale"]),
     ), centry
 
 
-_F_KEYS = ("tmin", "t", "u", "v", "sg_t", "ig_t")
-_I_KEYS = ("idx", "prim", "inst", "sg_c", "sidc", "ig_c")
-_B_KEYS = ("found", "has_super", "active")
+# Packed-state column layout.  The 7 RESULT columns lead so the retire
+# queue write is a contiguous column slice of the sorted pack; the pending
+# queue uses the first _NCOL columns; the front additionally carries the
+# (M, SUP) child-entry cache so no step ever recomputes it wholesale.
+_R_KEYS = ("t", "u", "v", "prim", "inst", "found", "idx")  # result cols
+_F_KEYS = ("t", "u", "v", "sg_t", "ig_t", "tmin")
+_I_KEYS = ("prim", "inst", "idx", "sg_c", "sidc", "ig_c")
+_B_KEYS = ("found", "has_super", "active", "stale")
+_ORDER = ("t", "u", "v", "prim", "inst", "found", "idx",
+          "ox", "oy", "oz", "dx", "dy", "dz",
+          "tmin", "sg_t", "ig_t", "sg_c", "sidc", "ig_c",
+          "has_super", "active", "stale")
+_NCOL = len(_ORDER)  # 22
+_NRES = len(_R_KEYS)  # 7
 
 
-def _pack_state(state):
-    """All state as ONE (N, 21) f32 matrix (ints/bools bitcast), so the
-    compaction permute is a single wide row gather."""
-    cols = ([state["o"], state["d"]]
-            + [state[k][:, None] for k in _F_KEYS]
-            + [jax.lax.bitcast_convert_type(state[k], Float)[:, None]
-               for k in _I_KEYS]
-            + [jax.lax.bitcast_convert_type(
-                state[k].astype(Int), Float)[:, None] for k in _B_KEYS])
+def _pack_state(state, centry=None):
+    """All state as ONE (N, 21) f32 matrix (ints/bools bitcast) — result
+    columns first — so the compaction permute is a single wide row gather
+    and the retire-queue write is a leading column slice.  With ``centry``
+    the cache rides along as 64 extra columns (N, 85)."""
+    cols = []
+    for k in _ORDER:
+        if k in ("ox", "oy", "oz"):
+            cols.append(state["o"][:, ("ox", "oy", "oz").index(k), None])
+        elif k in ("dx", "dy", "dz"):
+            cols.append(state["d"][:, ("dx", "dy", "dz").index(k), None])
+        elif k in _B_KEYS:
+            cols.append(jax.lax.bitcast_convert_type(
+                state[k].astype(Int), Float)[:, None])
+        elif k in _I_KEYS:
+            cols.append(
+                jax.lax.bitcast_convert_type(state[k], Float)[:, None])
+        else:
+            cols.append(state[k][:, None])
+    if centry is not None:
+        cols.append(centry)
     return jnp.concatenate(cols, axis=1)
 
 
 def _unpack_state(P):
-    out = dict(o=P[:, 0:3], d=P[:, 3:6])
-    c = 6
-    for k in _F_KEYS:
-        out[k] = P[:, c]
-        c += 1
-    for k in _I_KEYS:
-        out[k] = jax.lax.bitcast_convert_type(P[:, c], Int)
-        c += 1
-    for k in _B_KEYS:
-        out[k] = jax.lax.bitcast_convert_type(P[:, c], Int) > 0
-        c += 1
-    return out
+    out = {}
+    for c, k in enumerate(_ORDER):
+        v = P[:, c]
+        if k in _B_KEYS:
+            out[k] = jax.lax.bitcast_convert_type(v, Int) > 0
+        elif k in _I_KEYS:
+            out[k] = jax.lax.bitcast_convert_type(v, Int)
+        else:
+            out[k] = v
+    out["o"] = P[:, 7:10]
+    out["d"] = P[:, 10:13]
+    for k in ("ox", "oy", "oz", "dx", "dy", "dz"):
+        out.pop(k, None)
+    centry = P[:, _NCOL:] if P.shape[1] > _NCOL else None
+    return out, centry
 
 
-def _run_front(h, front, any_hit, k_inner):
+def _run_front(h, front, any_hit, k_inner, centry=None):
     d = front["d"]
     d_safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     inv_d = 1.0 / d_safe
-    front, centry = _one_step(h, front, inv_d, None, any_hit, fresh=True)
-    if k_inner > 1:
-        front, _ = jax.lax.fori_loop(
-            0, k_inner - 1,
+    if centry is None:
+        front, centry = _one_step(h, front, inv_d, None, any_hit, fresh=True)
+        k_done = 1
+    else:
+        k_done = 0
+    if k_inner > k_done:
+        front, centry = jax.lax.fori_loop(
+            0, k_inner - k_done,
             lambda i, c: _one_step(h, c[0], inv_d, c[1], any_hit, fresh=False),
             (front, centry))
-    return front
+    return front, centry
 
 
 def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
-                        active=None, front=FRONT, k_inner=K_INNER):
+                        active=None, front=FRONT, k_inner=K_INNER,
+                        prologue=PROLOGUE):
     """Closest-hit (or any-hit) march over the two-level hierarchy.
 
     o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
@@ -655,12 +695,38 @@ def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
     optionally masks lanes off (sparse bounce wavefronts retire instantly
     instead of paying traversal rounds).
 
-    **Compaction driver**: lockstep marching wastes gather bandwidth on
-    finished lanes.  Each round stably compacts still-active rays to the
-    front (argsort + one packed row-gather permute), and advances only the
-    first ``front`` of them by ``k_inner`` steps.  Measured per-ray visit
-    counts are tiny (mean ~0.6-2 on the 1.1M bench bunny), so rounds are
-    short and most lanes retire within one round.
+    **Retire-cursor compaction driver** (round-4 rework; the round-3
+    attempt of this design silently corrupted TPU renders — suspected
+    duplicate-index scatter — and is now gated by ``parity_check.py`` plus
+    a unique-retire construction, see below).  The round-3 driver paid
+    ~0.9 ms/round of bookkeeping, dominated by a per-round scatter into the
+    (N, 6) result matrix that XLA laid out transposed; this driver removes
+    every per-round scatter/gather:
+
+    - retired rows are *appended* to a result queue with one contiguous
+      ``dynamic_update_slice`` per round (the per-round sort puts real
+      retirees first, so the written block's prefix is exactly the new
+      results; the garbage tail is overwritten by the next round's append);
+    - refills are *contiguous slices* of the round-0-sorted pending queue
+      (the old driver gathered them through a clipped index vector);
+    - ONE final scatter places queue rows by their ray index — each real
+      ray retires exactly once (slots are always refilled, with tombstone
+      rows once the pending queue is dry), so the scatter has unique
+      indices by construction, removing the round-3 failure mode;
+    - the (M, SUP) child-entry cache is carried through compaction inside
+      the packed state, killing the all-lanes "fresh" recompute that cost
+      ~0.1 ms/round.
+
+    **Full-width prologue**: the driver's per-round cost is dominated by
+    fixed per-dispatch overhead at front-sized (8K-lane) shapes, while the
+    per-ray work distribution is extremely head-heavy (p50 = 1 cluster
+    visit on the 1.1M-tri bench).  So the first ``prologue`` traversal
+    steps run at FULL width — root test, first super sweep, first cluster
+    test as a handful of large, fully-amortized ops — and only the
+    multi-visit tail enters the compaction driver.  Survivors re-enter
+    with ``stale=True`` so their child-entry cache (not carried by the
+    22-column pending queue) is rebuilt on their first driver step while
+    their cluster-order gate resumes exactly where the prologue stopped.
     """
     N = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
@@ -669,78 +735,100 @@ def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
 
     if N <= front:
         def cond(c):
-            return jnp.any(c["active"])
+            return jnp.any(c[0]["active"])
 
         def body(c):
-            return _run_front(h, c, any_hit, k_inner)
+            return _run_front(h, c[0], any_hit, k_inner, centry=c[1])
 
-        state = jax.lax.while_loop(cond, body, state)
+        zc = jnp.zeros((N, SUP), Float)
+        state, _ = jax.lax.while_loop(cond, body, (state, zc))
         return dict(t=state["t"], u=state["u"], v=state["v"],
                     prim=state["prim"], inst=state["inst"],
                     found=state["found"])
 
-    # --- tail-refill driver -------------------------------------------------
-    # One full-size compaction up front; afterwards every round touches only
-    # the M-sized front: run k_inner steps, scatter retired lanes' results
-    # into the (N, 6) result matrix, compact survivors within the front and
-    # refill freed slots from the pending tail of the round-0-sorted state.
-    # (A chunked-scan variant without per-round compaction measured 3-5x
-    # slower: each chunk's while-loop runs to its own straggler depth.)
+    # --- full-width prologue ------------------------------------------------
+    if prologue > 0:
+        state, _ = _run_front(h, state, any_hit, prologue,
+                              centry=jnp.zeros((N, SUP), Float))
+        state = dict(state, stale=state["has_super"])
+
+    # --- retire-cursor driver ----------------------------------------------
     M = front
-    P = _pack_state(state)
+    P = _pack_state(state)  # (N, 22) pending queue, no centry
     perm0 = jnp.argsort(~state["active"], stable=True)
     P = P[perm0]
     n_act = jnp.sum(state["active"].astype(Int))
+    # pad by M rows so the refill slice below never clamps its start (a
+    # clamp+roll realignment variant miscompiled on the TPU backend: the
+    # pending tail was lost, caught by parity_check + test_driver_equiv)
+    P = jnp.concatenate([P, jnp.zeros((M, _NCOL), Float)], axis=0)
 
-    # result defaults for lanes that never do work (missed root / masked)
-    res = jnp.concatenate([
-        jnp.minimum(jnp.full((N, 1), BIG, Float), tmax[:, None]),
-        jnp.zeros((N, 2), Float),
-        jnp.zeros((N, 3), Float),  # prim, inst, found bitcast slots (0)
-    ], axis=1)
-
+    # retire queue: rows appended per round, placed by ONE final scatter.
+    # Size N + M absorbs the final round's garbage tail.
+    resq = jnp.zeros((N + M, _NRES), Float)
     slot = jnp.arange(M, dtype=Int)
-
-    def res_rows(fr):
-        return jnp.concatenate([
-            fr["t"][:, None], fr["u"][:, None], fr["v"][:, None],
-            jax.lax.bitcast_convert_type(fr["prim"], Float)[:, None],
-            jax.lax.bitcast_convert_type(fr["inst"], Float)[:, None],
-            jax.lax.bitcast_convert_type(
-                fr["found"].astype(Int), Float)[:, None],
-        ], axis=1)
+    zc = jnp.zeros((M, SUP), Float)
+    TOMB = jnp.asarray(N, Int)  # tombstone ray index (dropped at scatter)
 
     def cond(carry):
-        fr, tail, res = carry
-        return jnp.any(fr["active"]) | (tail < n_act)
+        fr, centry, tail, cursor, resq = carry
+        return jnp.any(fr["active"])
 
     def body(carry):
-        fr, tail, res = carry
-        fr = _run_front(h, fr, any_hit, k_inner)
+        fr, centry, tail, cursor, resq = carry
+        fr, centry = _run_front(h, fr, any_hit, k_inner, centry=centry)
         retired = ~fr["active"]
-        # persist retired lanes (idempotent for stale duplicates: inactive
-        # lanes are frozen by the step function)
-        idx_w = jnp.where(retired, fr["idx"], N)
-        res = res.at[idx_w].set(res_rows(fr), mode="drop")
-        # survivors to the front of the front
-        permf = jnp.argsort(retired, stable=True)
-        Pf = _pack_state(fr)[permf]
-        n_surv = M - jnp.sum(retired.astype(Int))
-        src = jnp.clip(tail + slot - n_surv, 0, N - 1)
-        take_new = (slot >= n_surv) & (tail + slot - n_surv < n_act)
-        Pf = jnp.where(take_new[:, None], P[src], Pf)
-        fr2 = _unpack_state(Pf)
-        fr2["active"] = fr2["active"] & ((slot < n_surv) | take_new)
-        tail2 = tail + jnp.maximum(
-            0, jnp.minimum(M - n_surv, n_act - tail))
-        return fr2, tail2, res
+        tomb = fr["idx"] >= N
+        # sort key: real retirees (0) < tombstones (1) < active (2); the
+        # write below persists rows [0, n_real) at the cursor
+        key = jnp.where(retired, jnp.where(tomb, 1, 0), 2)
+        permf = jnp.argsort(key, stable=True)
+        Pf = _pack_state(fr, centry)[permf]
+        n_real = jnp.sum((retired & ~tomb).astype(Int))
+        n_ret = jnp.sum(retired.astype(Int))
+        resq = jax.lax.dynamic_update_slice(resq, Pf[:, :_NRES],
+                                            (cursor, 0))
+        # refill every retired slot: pending rays while they last, then
+        # tombstones (idx = N, inactive at once so they retire next round)
+        take_new = slot < n_ret
+        have_ray = tail + slot < n_act
+        # contiguous refill read; P is padded by M rows so the slice start
+        # (tail <= n_act <= N) never clamps
+        Pref = jax.lax.dynamic_slice(P, (tail, 0), (M, _NCOL))
+        Pf21 = jnp.where(take_new[:, None], Pref, Pf[:, :_NCOL])
+        fr2, _ = _unpack_state(Pf21)
+        centry2 = jnp.where(take_new[:, None], 0.0, Pf[:, _NCOL:])
+        is_tomb_new = take_new & ~have_ray
+        fr2["idx"] = jnp.where(is_tomb_new, TOMB, fr2["idx"])
+        fr2["active"] = fr2["active"] & ~is_tomb_new
+        fr2["found"] = fr2["found"] & ~is_tomb_new
+        tail2 = tail + jnp.minimum(n_ret, jnp.maximum(n_act - tail, 0))
+        return fr2, centry2, tail2, cursor + n_real, resq
 
-    fr0 = _unpack_state(P[:M])
-    carry = (fr0, jnp.asarray(M, Int), res)
-    fr, tail, res = jax.lax.while_loop(cond, body, carry)
-    return dict(
-        t=res[:, 0], u=res[:, 1], v=res[:, 2],
-        prim=jax.lax.bitcast_convert_type(res[:, 3], Int),
-        inst=jax.lax.bitcast_convert_type(res[:, 4], Int),
-        found=jax.lax.bitcast_convert_type(res[:, 5], Int) > 0,
-    )
+    fr0, _ = _unpack_state(P[:M])
+    carry = (fr0, zc, jnp.asarray(M, Int), jnp.asarray(0, Int), resq)
+    fr, centry, tail, cursor, resq = jax.lax.while_loop(cond, body, carry)
+
+    # base results: the (possibly prologue-advanced) full-width state —
+    # rays that never entered the driver (missed root / masked off /
+    # finished in the prologue) read straight from it
+    t_r = state["t"]
+    u_r = state["u"]
+    v_r = state["v"]
+    p_r = state["prim"]
+    i_r = state["inst"]
+    f_r = state["found"].astype(Int)
+    qidx = jax.lax.bitcast_convert_type(resq[:, 6], Int)
+    # rows at or past the cursor are garbage from the last append
+    valid = jnp.arange(N + M, dtype=Int) < cursor
+    widx = jnp.where(valid, jnp.clip(qidx, 0, N), N)
+    t_r = t_r.at[widx].set(resq[:, 0], mode="drop")
+    u_r = u_r.at[widx].set(resq[:, 1], mode="drop")
+    v_r = v_r.at[widx].set(resq[:, 2], mode="drop")
+    p_r = p_r.at[widx].set(
+        jax.lax.bitcast_convert_type(resq[:, 3], Int), mode="drop")
+    i_r = i_r.at[widx].set(
+        jax.lax.bitcast_convert_type(resq[:, 4], Int), mode="drop")
+    f_r = f_r.at[widx].set(
+        jax.lax.bitcast_convert_type(resq[:, 5], Int), mode="drop")
+    return dict(t=t_r, u=u_r, v=v_r, prim=p_r, inst=i_r, found=f_r > 0)

@@ -52,6 +52,8 @@ def load_native():
             lib.mitpu_obj_uvs.restype = ctypes.POINTER(ctypes.c_float)
             lib.mitpu_obj_indices.restype = ctypes.POINTER(ctypes.c_int32)
             lib.mitpu_obj_free.restype = None
+            if hasattr(lib, "mitpu_build_alias_rows"):
+                lib.mitpu_build_alias_rows.restype = None
             _lib = lib
         except Exception:
             _lib = None
@@ -121,6 +123,23 @@ def build_bvh_native(prim_lo, prim_hi, prim_cent, leaf_size=4):
         node_skip=node_skip[:n_nodes].copy(),
         order=order,
     )
+
+
+def build_alias_rows_native(w):
+    """Batched Walker/Vose alias tables over rows of a (H, W) weight matrix.
+
+    Returns (prob (H, W) f32, alias (H, W) i32) or None without the lib."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "mitpu_build_alias_rows"):
+        return None
+    w = np.ascontiguousarray(w, np.float32)
+    H, W = w.shape
+    prob = np.empty((H, W), np.float32)
+    alias = np.empty((H, W), np.int32)
+    lib.mitpu_build_alias_rows(
+        ctypes.c_int64(H), ctypes.c_int64(W), _f32p(w), _f32p(prob),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return prob, alias
 
 
 def tri_bounds_native(p0, e1, e2):

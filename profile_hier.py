@@ -16,7 +16,7 @@ e1 = (pos[idx[:, 1]] - pos[idx[:, 0]]).astype(np.float32)
 e2 = (pos[idx[:, 2]] - pos[idx[:, 0]]).astype(np.float32)
 t0 = time.time()
 h = hy.build_hierarchy(p0, e1, e2)
-jax.block_until_ready(h.tris)
+jax.block_until_ready(h.blocks)
 print(f'build {time.time()-t0:.1f}s S={h.n_supers} tris={len(idx)}', flush=True)
 
 N = 1 << 19  # 512K rays

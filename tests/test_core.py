@@ -170,6 +170,61 @@ class TestDistribution:
         )
 
 
+class TestAliasSampling:
+    """O(1) alias-table path of Distribution2D (TPU replacement for the
+    envmap CDF binary search, /root/reference/src/emitters/envmap.cpp)."""
+
+    def test_alias_cell_frequencies_match_pmf(self):
+        rng = np.random.default_rng(5)
+        w = (rng.uniform(0, 1, (8, 16)) ** 2).astype(np.float32)
+        d = Distribution2D.from_weights(jnp.asarray(w))
+        assert d.marg_aprob is not None  # alias path active
+        n = 1 << 17
+        uv, pdf = d.sample_continuous(jnp.asarray(_uniform2(n, 31)))
+        uv = np.asarray(uv)
+        col = np.clip((uv[:, 0] * 16).astype(int), 0, 15)
+        row = np.clip((uv[:, 1] * 8).astype(int), 0, 7)
+        hist = np.zeros((8, 16))
+        np.add.at(hist, (row, col), 1.0)
+        hist /= n
+        np.testing.assert_allclose(hist, w / w.sum(), atol=4e-3)
+        # reported pdf == analytic texel density at the sampled cell
+        np.testing.assert_allclose(
+            np.asarray(pdf), (w / w.sum() * 8 * 16)[row, col], rtol=1e-4)
+
+    def test_alias_within_texel_uniform(self):
+        """Sample-reuse offsets must stay uniform inside each texel."""
+        w = np.ones((4, 4), np.float32)
+        w[1, 2] = 7.0
+        d = Distribution2D.from_weights(jnp.asarray(w))
+        n = 1 << 16
+        uv, _ = d.sample_continuous(jnp.asarray(_uniform2(n, 11)))
+        uv = np.asarray(uv)
+        sel = (uv[:, 0] >= 0.5) & (uv[:, 0] < 0.75) & \
+              (uv[:, 1] >= 0.25) & (uv[:, 1] < 0.5)
+        fx = (uv[sel, 0] - 0.5) / 0.25
+        fy = (uv[sel, 1] - 0.25) / 0.25
+        # 4-bin chi-square-ish uniformity per axis
+        for f in (fx, fy):
+            c = np.bincount(np.clip((f * 4).astype(int), 0, 3), minlength=4)
+            np.testing.assert_allclose(c / c.sum(), 0.25, atol=0.03)
+
+    def test_alias_matches_cdf_pdf(self):
+        """Alias and CDF paths agree on the density they report."""
+        rng = np.random.default_rng(9)
+        w = (rng.uniform(0, 1, (6, 10)) + 0.01).astype(np.float32)
+        d = Distribution2D.from_weights(jnp.asarray(w))
+        d_cdf = Distribution2D(cond_cdf=d.cond_cdf, cond_pmf=d.cond_pmf,
+                               marg_cdf=d.marg_cdf, marg_pmf=d.marg_pmf)
+        s = jnp.asarray(_uniform2(4096, 3))
+        uv_a, pdf_a = d.sample_continuous(s)
+        uv_c, pdf_c = d_cdf.sample_continuous(s)
+        np.testing.assert_allclose(
+            np.asarray(d.pdf_continuous(uv_a)), np.asarray(pdf_a), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(d.pdf_continuous(uv_c)), np.asarray(pdf_c), rtol=1e-4)
+
+
 class TestProperties:
     def test_query_recording(self):
         from mitsuba_im_tpu.core.properties import Properties
