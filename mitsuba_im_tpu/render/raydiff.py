@@ -53,11 +53,20 @@ def uv_differentials(geom, hit, o, d, dddx, dddy):
     is_tri = hit.kind == KIND_TRI
     tp = jnp.where(is_tri, hit.prim, 0)
     p0 = _gather3_v(geom.tri_p0, tp)
-    e1 = _gather3_v(geom.tri_e1, tp)
-    e2 = _gather3_v(geom.tri_e2, tp)
-    uv0u, uv0v = _gather2_v(geom.tri_uv0, tp)
-    uv1u, uv1v = _gather2_v(geom.tri_uv1, tp)
-    uv2u, uv2v = _gather2_v(geom.tri_uv2, tp)
+    if geom.tri_shad is not None and geom.tri_shad.shape[0] > v.SELECT_MAX:
+        # one packed shading-row gather (see Geometry.tri_shad)
+        row = geom.tri_shad[tp]
+        e1 = v.V3(row[:, 0], row[:, 1], row[:, 2])
+        e2 = v.V3(row[:, 3], row[:, 4], row[:, 5])
+        uv0u, uv0v = row[:, 15], row[:, 16]
+        uv1u, uv1v = row[:, 17], row[:, 18]
+        uv2u, uv2v = row[:, 19], row[:, 20]
+    else:
+        e1 = _gather3_v(geom.tri_e1, tp)
+        e2 = _gather3_v(geom.tri_e2, tp)
+        uv0u, uv0v = _gather2_v(geom.tri_uv0, tp)
+        uv1u, uv1v = _gather2_v(geom.tri_uv1, tp)
+        uv2u, uv2v = _gather2_v(geom.tri_uv2, tp)
     n = e1.cross(e2)
 
     # 2x2 Gram system for barycentrics of a point on the triangle plane

@@ -58,6 +58,13 @@ class Geometry:
     # rotated at interaction time
     inst_rot: jax.Array = None  # (I, 3, 3)
 
+    # packed per-triangle shading row [e1 e2 n0 n1 n2 uv0 uv1 uv2 pad],
+    # (T, SHAD_ROW): interaction construction is ONE row gather instead of
+    # eight (N, 3)/(N, 2) gathers, which XLA laid out transposed and which
+    # profiled at ~2-3 orders of magnitude over gather bandwidth on the
+    # 1M-triangle bench (same lesson as accel/hierarchy.py's packed rows)
+    tri_shad: jax.Array = None  # (T, SHAD_ROW)
+
     n_tris: int = static_field(default=0)  # real (unpadded) counts
     n_spheres: int = static_field(default=0)
     n_disks: int = static_field(default=0)
@@ -149,6 +156,18 @@ class Interaction3:
         )
 
 
+SHAD_ROW = 24  # 21 used + 3 pad (see Geometry.tri_shad)
+
+
+def pack_shading_rows(e1, e2, n0, n1, n2, uv0, uv1, uv2):
+    """(T, SHAD_ROW) packed shading rows from component arrays (np or jnp;
+    linear in every input, so keyframe lerps commute with packing)."""
+    xp = jnp if isinstance(e1, jax.Array) else np
+    T = e1.shape[0]
+    pad = xp.zeros((T, SHAD_ROW - 21), e1.dtype)
+    return xp.concatenate([e1, e2, n0, n1, n2, uv0, uv1, uv2, pad], axis=1)
+
+
 def make_geometry(
     tri_data: dict | None,
     spheres: dict | None,
@@ -213,6 +232,9 @@ def make_geometry(
         disk_shape=i(disks["shape"]),
         inst_rot=f(np.eye(3, dtype=np.float32)[None]
                    if inst_rot is None else inst_rot),
+        tri_shad=f(pack_shading_rows(
+            *(np.asarray(tri_data[k], np.float32)
+              for k in ("e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2")))),
         n_tris=n_tris, n_spheres=n_spheres, n_disks=n_disks,
         instanced=inst_rot is not None and len(inst_rot) > 1,
     )
@@ -251,15 +273,31 @@ def compute_interaction_v(geom: Geometry, o, d, hit: Hit) -> Interaction3:
 
     p = o + d * hit.t
 
-    # --- triangle attributes ---
-    e1 = _gather3_v(geom.tri_e1, tp)
-    e2 = _gather3_v(geom.tri_e2, tp)
-    n0 = _gather3_v(geom.tri_n0, tp)
-    n1 = _gather3_v(geom.tri_n1, tp)
-    n2 = _gather3_v(geom.tri_n2, tp)
-    uv0u, uv0v = _gather2_v(geom.tri_uv0, tp)
-    uv1u, uv1v = _gather2_v(geom.tri_uv1, tp)
-    uv2u, uv2v = _gather2_v(geom.tri_uv2, tp)
+    # --- triangle attributes: ONE packed row gather -----------------------
+    if geom.tri_shad is not None and geom.tri_shad.shape[0] > v.SELECT_MAX:
+        # the barrier pins the gather's result layout to the table's
+        # row-major tiling; without it XLA propagates the per-column
+        # consumers' preference and materializes the gather TRANSPOSED
+        # (measured 63 ns/row vs the ~6 ns/row gather floor)
+        row = jax.lax.optimization_barrier(geom.tri_shad[tp])
+        V = v.V3
+        e1 = V(row[:, 0], row[:, 1], row[:, 2])
+        e2 = V(row[:, 3], row[:, 4], row[:, 5])
+        n0 = V(row[:, 6], row[:, 7], row[:, 8])
+        n1 = V(row[:, 9], row[:, 10], row[:, 11])
+        n2 = V(row[:, 12], row[:, 13], row[:, 14])
+        uv0u, uv0v = row[:, 15], row[:, 16]
+        uv1u, uv1v = row[:, 17], row[:, 18]
+        uv2u, uv2v = row[:, 19], row[:, 20]
+    else:
+        e1 = _gather3_v(geom.tri_e1, tp)
+        e2 = _gather3_v(geom.tri_e2, tp)
+        n0 = _gather3_v(geom.tri_n0, tp)
+        n1 = _gather3_v(geom.tri_n1, tp)
+        n2 = _gather3_v(geom.tri_n2, tp)
+        uv0u, uv0v = _gather2_v(geom.tri_uv0, tp)
+        uv1u, uv1v = _gather2_v(geom.tri_uv1, tp)
+        uv2u, uv2v = _gather2_v(geom.tri_uv2, tp)
     ng_tri = e1.cross(e2).normalized()
     w = 1.0 - hit.u - hit.v
     ns_tri = (n0 * w + n1 * hit.u + n2 * hit.v).normalized()

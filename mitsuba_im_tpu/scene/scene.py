@@ -59,6 +59,14 @@ class Scene:
             tri_n1=L(g.tri_n1, self.motion["n1"]),
             tri_n2=L(g.tri_n2, self.motion["n2"]),
         )
+        if g.tri_shad is not None:
+            from .geometry import pack_shading_rows
+
+            m = self.motion
+            shad1 = pack_shading_rows(
+                m["e1"], m["e2"], m["n0"], m["n1"], m["n2"],
+                g.tri_uv0, g.tri_uv1, g.tri_uv2)
+            geom = geom.replace(tri_shad=L(g.tri_shad, shad1))
         out = self.replace(geom=geom)
         if (self.clusters is not None
                 and getattr(self.clusters, "has_motion", False)):
