@@ -69,7 +69,7 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
     li = v.zeros((n,))
     thr = v.ones((n,))
 
-    hit = scene.ray_intersect_v(o, d)
+    hit = scene.ray_intersect_v(o, d, coherent=True)
     it = scene.interaction_v(o, d, hit)
 
     # directly visible emitters / environment (depth-1 contributions)

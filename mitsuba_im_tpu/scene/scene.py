@@ -148,12 +148,12 @@ class Scene:
 
     # -- component-SoA queries (canonical for the wavefront hot path) ------
     def ray_intersect_v(self, o, d, tmin=EPSILON, tmax=1e30,
-                        active=None) -> Hit:
+                        active=None, coherent=False) -> Hit:
         """o, d: V3 of flat (N,) components."""
         return isect.intersect_v(
             self.geom, o, d, tmin, tmax,
             bvh=self.bvh if self.use_bvh else None, clusters=self.clusters,
-            active=active,
+            active=active, coherent=coherent,
         )
 
     def occluded_v(self, o, d, tmin, tmax, active=None) -> jax.Array:
