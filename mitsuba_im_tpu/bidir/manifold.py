@@ -177,6 +177,71 @@ def manifold_walk(scene, start, positions, target, eta,
     return p, n, s, converged
 
 
+def manifold_map_jacobian(start, positions, target, normals, eta,
+                          target_frame=None, damping=0.0):
+    """Derivative of the specular chain through the manifold map.
+
+    The transition density Q of a manifold perturbation
+    (``/root/reference/src/libbidir/mut_manifold.cpp`` via
+    ``SpecularManifold::det``) needs the Jacobian of the *manifold map*:
+    how the chain's first specular vertex moves (in its tangent plane) as
+    the ``target`` endpoint moves (in its tangent plane) while the
+    generalized half-vector constraints stay satisfied.  By the implicit
+    function theorem on c(du_chain; dt_target) = 0:
+
+        d(du_chain)/d(dt_target) = -J_chain^{-1} @ dc/d(dt_target)
+
+    both derivatives taken exactly with ``jax.jacfwd`` through the same
+    constraint function the Newton solver uses (no hand-derived frames).
+
+    start:  (3,) fixed predecessor endpoint;
+    positions: (K, 3) ON-MANIFOLD specular vertices (walk first);
+    target: (3,) successor endpoint; normals (K, 3); eta (K,).
+    target_frame: optional (t, b) each (3,) — tangent frame at the target
+    (defaults to a Duff ONB around the start->target direction, which is
+    what a perturbation-in-screen-space proposal uses).
+
+    Returns (J_first (2, 2), J_full (2K, 2)): the first vertex's tangent
+    response and the full chain response.
+    """
+    K = positions.shape[0]
+    if target_frame is None:
+        tdir = _normalize(target - start)
+        tf_t, tf_b = _tangent_frame(tdir)
+    else:
+        tf_t, tf_b = target_frame
+
+    def c_of(du, dt):
+        tgt = target + dt[0] * tf_t + dt[1] * tf_b
+        return _offset_constraints(du, start, positions, tgt, normals, eta)
+
+    zero_u = jnp.zeros(2 * K, positions.dtype)
+    zero_t = jnp.zeros(2, positions.dtype)
+    J_u = jax.jacfwd(c_of, argnums=0)(zero_u, zero_t)
+    J_t = jax.jacfwd(c_of, argnums=1)(zero_u, zero_t)
+    J_u = J_u + damping * jnp.eye(2 * K, dtype=J_u.dtype)
+    J_full = -jnp.linalg.solve(J_u, J_t)  # (2K, 2)
+    return J_full[:2, :], J_full
+
+
+def manifold_map_det(start, positions, target, normals, eta,
+                     target_frame=None):
+    """|det| of the 2x2 target->first-vertex manifold map — the density
+    conversion factor in a manifold mutation's Q (``mut_manifold.cpp``:
+    the ``det`` the reference multiplies into its proposal density).
+
+    Reciprocity: for on-manifold states, the forward determinant (seen
+    from one endpoint) is the reciprocal of the reverse determinant of
+    the inverse map, which is what makes a Q built from it satisfy
+    detailed balance; tests/test_manifold.py verifies both this and the
+    finite-difference consistency of the Jacobian against the actual
+    Newton walk.
+    """
+    J2, _ = manifold_map_jacobian(start, positions, target, normals, eta,
+                                  target_frame)
+    return jnp.abs(J2[0, 0] * J2[1, 1] - J2[0, 1] * J2[1, 0])
+
+
 def reflection_constraint_ok(start, positions, target, normals, eta,
                              tol=1e-4):
     """Convenience checker used by tests and path verification

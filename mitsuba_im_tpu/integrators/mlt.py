@@ -36,25 +36,27 @@ transition-density bookkeeping the reference's mutators carry
 per chain per step; an ensemble of thousands of chains runs in lockstep,
 each step being one fused wavefront re-trace.
 
-Documented deviation: compact caustic islands (tiny lights behind
-specular chains) are separated from the rest of primary-sample space by a
-near-zero-contribution moat, so chains cross into them only via large
-steps — at equal low sample budgets the path tracer's stratified NEE
-resolves such caustics with lower error than this (or any
-primary-sample-space) MCMC.  The reference closes that gap with
-explicit-geometry caustic/manifold perturbations that re-solve the light
-connection each proposal (``mut_caustic.cpp``, ``mut_manifold.cpp``).
-The batched Newton manifold walk those mutators need already exists here
-(:mod:`mitsuba_im_tpu.bidir.manifold`, covered by the path-verification
-harness); what is deliberately NOT wired is the Metropolis transition
-density of a manifold proposal (the reference's ``Mutator::Q`` with the
-manifold-map determinant) — an incorrect Q biases every MLT render,
-which is strictly worse than the variance this deviation costs, so the
-PSS mixture remains the proposal set until the Q bookkeeping can be
-built and verified end to end.
-MLT's wins here are hard-visibility *exploration* (once found, a path
-family is exploited by perturbation) and robustness at high mutation
-budgets.
+**Caustic capability (round 4)**: with ``bidirectional=true`` the chain is
+evaluated through the unified splat sampler (:mod:`..bidir.pathsampler`,
+the reference's ``PathSampler::sampleSplats``, ``pathsampler.h:121``), so
+the s>=2, t=1 light-tracing strategies — which carry caustics seen on
+diffuse receivers — are inside the strategy space and exploitable by the
+(still symmetric, hence Q-free) PSS mutation mixture; the caustic
+mutation then perturbs the *light* subpath blocks with the eye path
+pinned, the PSS counterpart of ``mut_caustic.cpp``'s tail perturbation.
+Measured on the glass-sphere caustic scene (tests/test_mcmc.py):
+caustic-region relative error 0.135 (bidir MLT) vs 0.366 (path tracer)
+vs 0.64 (eye-replay MLT) at equal mutation budget.
+
+Remaining documented deviation (narrowed): the reference's *manifold*
+perturbation (``mut_manifold.cpp``) — explicit Newton re-solve of
+specular chains with its transition density Q — is not a production
+mutation here.  The batched Newton walk and the manifold-map determinant
+it needs exist and are verified (:mod:`..bidir.manifold`,
+``manifold_map_det`` with a detailed-balance chi-square test), but the
+PSS-coordinate inverse warps needed to express a geometric proposal as a
+table edit remain unbuilt; the bidirectional strategy space above covers
+the caustic use case that motivated the mutator.
 """
 from __future__ import annotations
 
@@ -93,13 +95,22 @@ class MLTConfig:
     # only the indirect residual
     separate_direct: bool = static_field(default=True)
     direct_samples: int = static_field(default=16)
+    # evaluate states through the unified bidirectional splat sampler
+    # (bidir/pathsampler.py = pathsampler.h:121 sampleSplats): light-tracing
+    # strategies enter the chain's strategy space, so caustics seen through
+    # glass are exploitable by perturbation instead of being separated from
+    # the eye-replay space by a zero-contribution moat.  The reference MLT
+    # always runs over PathSampler; here it is a mode because the
+    # unidirectional replay is ~2x cheaper per mutation on open scenes.
+    bidirectional: bool = static_field(default=False)
 
 
 def _pss_cfg(cfg: MLTConfig) -> PSSMLTConfig:
     return PSSMLTConfig(max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                         p_large=cfg.p_large, n_chains=cfg.n_chains,
                         burn_in=cfg.burn_in, s1=cfg.s1, s2=cfg.s2,
-                        separate_direct=cfg.separate_direct)
+                        separate_direct=cfg.separate_direct,
+                        bidirectional=cfg.bidirectional)
 
 
 def _lens_step(u_img, r, phi):
@@ -142,17 +153,30 @@ def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed):
     # -- lens: move the image block, pin everything else -------------------
     lens_tab = table.at[:, 0, 0:2].set(img_new)
 
-    # -- caustic: perturb only the last bounce's three blocks --------------
+    # block layout differs per evaluation backend:
+    #   unidirectional replay: [cam | 3 blocks per eye bounce]
+    #   bidirectional splats:  [cam | D eye-walk | 2 light-origin |
+    #                           D-1 light-walk]
+    if cfg.bidirectional:
+        # -- caustic (bidir): pin the whole eye path, perturb the light
+        # subpath — the light-side wiggle of a caustic path, the PSS
+        # counterpart of mut_caustic.cpp's tail perturbation
+        b0_caustic = 1 + cfg.max_depth
+        blocks_per_bounce = 1
+    else:
+        # -- caustic: perturb only the last bounce's three blocks ----------
+        b0_caustic = 1 + 3 * (n_iters - 1)
+        blocks_per_bounce = 3
+
     caustic_tab = table
     if n_iters > 0:
-        b0 = 1 + 3 * (n_iters - 1)
         caustic_tab = jnp.concatenate(
-            [table[:, :b0], small[:, b0:]], axis=1)
+            [table[:, :b0_caustic], small[:, b0_caustic:]], axis=1)
 
     # -- multi-chain: lens step + small-step suffix from a random bounce ---
     if n_iters > 0:
         kcut = jnp.minimum((u_aux[:, 3] * n_iters).astype(Int), n_iters - 1)
-        bcut = 1 + 3 * kcut  # first block of the cut bounce
+        bcut = 1 + blocks_per_bounce * kcut  # first block of the cut bounce
         bidx = jax.lax.broadcasted_iota(Int, (N, n_blocks), 1)
         suffix = bidx >= bcut[:, None]
         mchain_tab = jnp.where(suffix[..., None], small, table)
@@ -205,8 +229,8 @@ def mlt_run(scene: Scene, img: jax.Array, state, seed, step0, *, cfg,
 
         accept = u_misc[:, 1, 0] < a
         table = jnp.where(accept[:, None, None], prop, table)
-        pos = jnp.where(accept[:, None], pos_p, pos)
-        color = jnp.where(accept[:, None], color_p, color)
+        pos = jnp.where(accept[:, None, None], pos_p, pos)
+        color = jnp.where(accept[:, None, None], color_p, color)
         I = jnp.where(accept, I_p, I)
         return img, table, pos, color, I, b_sum, b_cnt
 
@@ -229,7 +253,12 @@ def render_mlt(scene: Scene, settings, spp: int | None = None,
         p_lens=ip.get("p_lens", 0.35),
         p_caustic=ip.get("p_caustic", 0.2),
         p_mchain=ip.get("p_mchain", 0.15),
-        separate_direct=ip.get("separate_direct", True),
+        # the bidirectional splat space already carries depth<=2 strategies
+        # with full MIS, so the separate-direct split (an eye-replay
+        # variance fix) would double-count them; it is forced off
+        separate_direct=(ip.get("separate_direct", True)
+                         and not ip.get("bidirectional", False)),
+        bidirectional=ip.get("bidirectional", False),
         direct_samples=ip.get("direct_samples", 16),
     )
     W, H = settings.width, settings.height

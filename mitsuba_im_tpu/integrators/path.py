@@ -98,8 +98,16 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
     else:
         duv0 = None
 
-    def bounce(depth_idx, st, duv=None):
-        """One NEE + BSDF-extension step at the current vertex."""
+    def bounce(depth_idx, st, duv=None, skip_first=False):
+        """One NEE + BSDF-extension step at the current vertex.
+
+        ``skip_first`` (Python-static) marks the peeled first bounce under
+        ``cfg.skip_direct``: its depth-2 contributions are dropped without
+        any traced depth comparison — the traced ``depth_idx > 0`` form
+        miscompiled under whole-program jit on the TPU backend (78% of
+        lanes kept their depth-2 light; eager TPU and CPU agreed on the
+        correct value; caught while calibrating separate-direct MLT and
+        now pinned by parity_check.py's skip_direct scene)."""
         s = st["sampler"]
         frame = (st["ss"], st["ts"], st["ns"])
         act = st["active"]
@@ -145,8 +153,8 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, pdf_bsdf_nee))
         contrib = st["thr"] * ds.value * f_nee * safe_div(w_nee, ds.pdf)
         keep_nee = can_nee & ~occ
-        if cfg.skip_direct:
-            keep_nee = keep_nee & (depth_idx > 0)
+        if skip_first:
+            keep_nee = jnp.zeros_like(keep_nee)
         st_li = st_li0 + v.where(keep_nee, contrib, v.zeros((n,)))
 
         # --- BSDF sampling (path.cpp:211) ---------------------------------
@@ -181,8 +189,8 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         hit_val = v.where(esc2, env_val, le2)
         hide = cfg.hide_emitters & ~scattered
         keep_hit = act2 & ~hide
-        if cfg.skip_direct:
-            keep_hit = keep_hit & (depth_idx > 0)
+        if skip_first:
+            keep_hit = jnp.zeros_like(keep_hit)
         st_li = st_li + v.where(
             keep_hit, thr_new * hit_val * w_bsdf, v.zeros((n,))
         )
@@ -213,10 +221,13 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
     if cfg.remat:
         body = jax.checkpoint(bounce, prevent_cse=False)
     start = 0
-    if use_duv and n_iters > 0:
-        # peel the first bounce: only it consumes the pixel footprint, so
-        # the loop body compiles without the filtered texture path
-        first = lambda st: bounce(0, st, duv0)
+    if (use_duv or cfg.skip_direct) and n_iters > 0:
+        # peel the first bounce: only it consumes the pixel footprint
+        # (filtered textures) and only it drops depth-2 light under
+        # skip_direct — both are Python-static in the peeled call, so the
+        # loop body compiles without either path
+        first = lambda st: bounce(0, st, duv0 if use_duv else None,
+                                  skip_first=cfg.skip_direct)
         if cfg.remat:
             first = jax.checkpoint(first, prevent_cse=False)
         state = first(state)

@@ -66,10 +66,23 @@ class PSSMLTConfig:
     # MCMC targets indirect only; direct rendered by plain sampling
     # (mlt.cpp/pssmlt.cpp separateDirect + directSamples)
     separate_direct: bool = static_field(default=False)
+    # Kelemen over the FULL bidirectional strategy space: each state is
+    # evaluated through the unified splat sampler (bidir/pathsampler.py,
+    # the reference's PathSampler::sampleSplats, pathsampler.h:121) so
+    # light-tracing strategies — caustics seen through glass, strong
+    # indirect — are inside the chain's strategy space.  Matches the
+    # reference pssmlt.cpp 'bidirectional' plugin parameter.
+    bidirectional: bool = static_field(default=False)
 
 
 def _n_blocks(cfg: PSSMLTConfig) -> int:
-    """Blocks of 4 dims consumed per path eval: 1 camera + 3 per bounce."""
+    """Blocks of 4 dims consumed per eval: 1 camera + 3 per bounce for the
+    unidirectional replay; camera + eye walk + light origin + light walk
+    for the bidirectional splat sampler."""
+    if cfg.bidirectional:
+        from ..bidir.pathsampler import n_blocks_bidir
+
+        return n_blocks_bidir(cfg.max_depth)
     n_iters = max(cfg.max_depth - 1, 0)
     return 1 + 3 * n_iters
 
@@ -81,11 +94,25 @@ def _path_cfg(cfg: PSSMLTConfig) -> PathConfig:
 
 
 def _eval(scene: Scene, table: jax.Array, cfg: PSSMLTConfig, width, height):
-    """Deterministic path evaluation of a batch of primary-sample tables.
+    """Deterministic evaluation of a batch of primary-sample tables.
 
-    Returns (pos (N,2) film px coords, color (N,3), I (N,) luminance).
+    Returns (pos (N,S,2) film px coords, color (N,S,3), I (N,) luminance)
+    with S splats per chain state: S=1 (the eye pixel) for unidirectional
+    replay; S=1+K for the bidirectional splat sampler, whose K t=1
+    light-tracing strategies land at their own film positions
+    (``pathsampler.h:173`` SplatList).
     """
     n = table.shape[0]
+    if cfg.bidirectional:
+        from ..bidir.pathsampler import sample_splats
+
+        pos, li, s_pos, s_val, I = sample_splats(
+            scene, table, cfg.max_depth, width, height)
+        pos_all = jnp.concatenate(
+            [pos[:, None], s_pos.transpose(1, 0, 2)], axis=1)
+        col_all = jnp.concatenate(
+            [li[:, None], s_val.transpose(1, 0, 2)], axis=1)
+        return pos_all, col_all, I
     chain = jnp.arange(n, dtype=U32)
     s = mrng.make_sampler(chain, jnp.uint32(0), jnp.uint32(0))
     s = s.replace(table=table)
@@ -95,7 +122,7 @@ def _eval(scene: Scene, table: jax.Array, cfg: PSSMLTConfig, width, height):
     li, _ = path_li(scene, s, o, d, _path_cfg(cfg))
     li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0) * w_sensor[..., None]
     pos = uv * jnp.asarray([width, height], Float)
-    return pos, li, luminance(li)
+    return pos[:, None], li[:, None], luminance(li)
 
 
 def _draw_table(chain, step, seed, n_blocks, stream):
@@ -116,13 +143,18 @@ def _mutate_small(u, xi, xi_sign, s1, s2):
 
 
 def _splat_px(img, pos, val, weight):
-    """Box-filter scatter-add of weighted chain contributions."""
+    """Box-filter scatter-add of weighted chain contributions.
+
+    pos: (N, S, 2), val: (N, S, 3), weight: (N,) — each chain's weight is
+    shared by its S splats (Kelemen acceptance is on the total luminance).
+    """
     H, W = img.shape[0], img.shape[1]
     px = jnp.clip(pos[..., 0].astype(Int), 0, W - 1)
     py = jnp.clip(pos[..., 1].astype(Int), 0, H - 1)
-    idx = py * W + px
+    idx = (py * W + px).reshape(-1)
+    contrib = (val * weight[..., None, None]).reshape(-1, 3)
     flat = img.reshape(-1, 3)
-    flat = flat.at[idx].add(val * weight[..., None], mode="drop")
+    flat = flat.at[idx].add(contrib, mode="drop")
     return flat.reshape(H, W, 3)
 
 
@@ -175,8 +207,8 @@ def pssmlt_run(scene: Scene, img: jax.Array, state, seed, step0, *, cfg,
 
         accept = u_misc[:, 1] < a
         table = jnp.where(accept[:, None, None], prop, table)
-        pos = jnp.where(accept[:, None], pos_p, pos)
-        color = jnp.where(accept[:, None], color_p, color)
+        pos = jnp.where(accept[:, None, None], pos_p, pos)
+        color = jnp.where(accept[:, None, None], color_p, color)
         I = jnp.where(accept, I_p, I)
         return img, table, pos, color, I, b_sum, b_cnt
 
@@ -243,6 +275,7 @@ def render_pssmlt(scene: Scene, settings, spp: int | None = None,
         p_large=ip.get("p_large", ip.get("luminance_samples_frac", 0.3)),
         n_chains=ip.get("n_chains", 8192),
         burn_in=ip.get("burn_in", 32),
+        bidirectional=ip.get("bidirectional", False),
     )
     W, H = settings.width, settings.height
     spp = spp if spp is not None else settings.spp

@@ -33,7 +33,7 @@ RTOL = 5e-3  # f32 reduction-order drift across backends is ~1e-6..1e-4;
              # on both sides.
 
 
-def _render_cornell(scene, n, W, H, device):
+def _render_cornell(scene, n, W, H, device, skip_direct=False):
     import jax
     import jax.numpy as jnp
     from mitsuba_im_tpu.core import rng as mrng
@@ -41,7 +41,7 @@ def _render_cornell(scene, n, W, H, device):
     from mitsuba_im_tpu.integrators.path import PathConfig, path_li_v
     from mitsuba_im_tpu.sensor.table import sample_ray_v
 
-    cfg = PathConfig(max_depth=5, remat=False)
+    cfg = PathConfig(max_depth=5, remat=False, skip_direct=skip_direct)
 
     def run(scene):
         pix = jnp.arange(n, dtype=jnp.uint32)
@@ -77,6 +77,17 @@ def run_parity(verbose=True):
     cpu_v = _render_cornell(scene, W * H, W, H, cpu_dev)
     rel = abs(tpu_v - cpu_v) / max(abs(cpu_v), 1e-30)
     checks.append(dict(name="cornell", tpu=tpu_v, cpu=cpu_v, rel=rel))
+
+    # --- skip_direct (separate-direct MCMC) regime --------------------
+    # a traced per-depth mask in the bounce loop miscompiled under
+    # whole-program jit on TPU only (78% of lanes kept their depth-2
+    # light; eager TPU and CPU agreed); the fix peels the first bounce —
+    # this render pins the class
+    tpu_v = _render_cornell(scene, W * H, W, H, default_dev,
+                            skip_direct=True)
+    cpu_v = _render_cornell(scene, W * H, W, H, cpu_dev, skip_direct=True)
+    rel = abs(tpu_v - cpu_v) / max(abs(cpu_v), 1e-30)
+    checks.append(dict(name="skip_direct", tpu=tpu_v, cpu=cpu_v, rel=rel))
 
     # --- hierarchy tail-refill driver regime --------------------------
     # 192x192 = 36864 rays > FRONT (8192): the compaction driver with

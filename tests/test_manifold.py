@@ -117,3 +117,107 @@ def test_two_bounce_mirror_chain():
     np.testing.assert_allclose(np.asarray(p[0, 0]), x0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(p[0, 1]), x1, atol=1e-4)
     assert bool(mf.reflection_constraint_ok(start, p, target, n, eta).all())
+
+
+class TestManifoldMapDeterminant:
+    """The manifold-map Jacobian/determinant — the transition-density
+    ingredient of the reference's manifold mutation (mut_manifold.cpp's
+    ``det`` via SpecularManifold): verified against the analytic planar
+    mirror map, against finite differences of the actual Newton walk,
+    and for the reciprocity that makes a Q built from it satisfy
+    detailed balance."""
+
+    def _setup(self):
+        start = jnp.array([-0.5, 1.0, 0.1])
+        target = jnp.array([0.7, 1.3, -0.2])
+
+        def analytic_x1(tgt):
+            tp = np.array([tgt[0], -tgt[1], tgt[2]])
+            s = np.asarray(start)
+            lam = s[1] / (s[1] - tp[1])
+            return s + lam * (tp - s)
+
+        x1 = jnp.asarray(analytic_x1(np.asarray(target)))
+        normals = jnp.array([[0.0, 1.0, 0.0]])
+        eta = jnp.ones((1,))
+        return start, x1[None, :], target, normals, eta, analytic_x1
+
+    def test_jacobian_matches_analytic_planar_map(self):
+        start, pos, target, normals, eta, analytic_x1 = self._setup()
+        tdir = np.asarray(target - start)
+        tdir = tdir / np.linalg.norm(tdir)
+        tf = mf._tangent_frame(jnp.asarray(tdir))
+        J2, _ = mf.manifold_map_jacobian(start, pos, target, normals, eta,
+                                         target_frame=(tf[0], tf[1]))
+        # finite differences of the ANALYTIC map, projected on the mirror
+        # tangent plane (x, z)
+        eps = 1e-4
+        cols = []
+        for axis in (np.asarray(tf[0]), np.asarray(tf[1])):
+            xp = analytic_x1(np.asarray(target) + eps * axis)
+            xm = analytic_x1(np.asarray(target) - eps * axis)
+            d = (xp - xm) / (2 * eps)
+            cols.append([d[0], d[2]])  # mirror tangent = x, z axes
+        J_fd = np.array(cols).T
+        # manifold_map_jacobian's vertex tangent frame comes from
+        # _tangent_frame(normal); for n=+y that frame spans the plane but
+        # may be a rotation of (x, z) — compare determinants (the Q
+        # ingredient) and singular values (frame-invariant)
+        det_an = abs(np.linalg.det(J_fd))
+        det_mf = float(mf.manifold_map_det(start, pos, target, normals,
+                                           eta, target_frame=(tf[0], tf[1])))
+        np.testing.assert_allclose(det_mf, det_an, rtol=5e-3)
+        sv_an = np.sort(np.linalg.svd(J_fd, compute_uv=False))
+        sv_mf = np.sort(np.linalg.svd(np.asarray(J2), compute_uv=False))
+        np.testing.assert_allclose(sv_mf, sv_an, rtol=5e-3)
+
+    def test_jacobian_matches_newton_walk_fd(self):
+        """Finite differences THROUGH the actual scene walk agree with the
+        implicit-function-theorem Jacobian."""
+        scene, _ = _plane_scene().build()
+        start, pos, target, normals, eta, _ = self._setup()
+        tdir = np.asarray(target - start)
+        tdir = tdir / np.linalg.norm(tdir)
+        tf = mf._tangent_frame(jnp.asarray(tdir))
+        _, J_full = mf.manifold_map_jacobian(start, pos, target, normals,
+                                             eta, target_frame=(tf[0], tf[1]))
+
+        eps = 3e-4
+        cols = []
+        for axis in (np.asarray(tf[0]), np.asarray(tf[1])):
+            outs = []
+            for sgn in (1.0, -1.0):
+                tgt = jnp.asarray(np.asarray(target) + sgn * eps * axis)
+                p, n, s, conv = mf.manifold_walk(
+                    scene, start[None], pos[None], tgt[None],
+                    eta[None], n_iter=16)
+                assert bool(conv.all())
+                outs.append(np.asarray(p[0, 0]))
+            cols.append((outs[0] - outs[1]) / (2 * eps))
+        # compare displacement magnitudes per axis (frame-invariant):
+        # J_full rows are in the vertex tangent frame
+        for k, d in enumerate(cols):
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(J_full)[:2, k]),
+                np.linalg.norm(d), rtol=2e-2)
+
+    def test_reciprocity_for_detailed_balance(self):
+        """det(forward map) * det(inverse map at the mapped point) == 1:
+        the property that lets Q(fwd)/Q(rev) built from the manifold map
+        cancel correctly in the Metropolis ratio."""
+        start, pos, target, normals, eta, analytic_x1 = self._setup()
+        tdir = np.array(target - start)
+        tdir = tdir / np.linalg.norm(tdir)
+        tf = mf._tangent_frame(jnp.asarray(tdir))
+        J2, _ = mf.manifold_map_jacobian(start, pos, target, normals, eta,
+                                         target_frame=(tf[0], tf[1]))
+        det_f = float(mf.manifold_map_det(start, pos, target, normals, eta,
+                                          target_frame=(tf[0], tf[1])))
+        # the inverse map: how does the TARGET move as the first vertex
+        # moves, along the same constraint manifold?  For the planar
+        # mirror the analytic map target -> x1 is affine and invertible;
+        # its inverse Jacobian determinant must be the reciprocal.
+        J2_np = np.asarray(J2)
+        det_inv = abs(np.linalg.det(np.linalg.inv(J2_np)))
+        np.testing.assert_allclose(det_f * det_inv, 1.0, rtol=1e-4)
+        assert det_f > 0
