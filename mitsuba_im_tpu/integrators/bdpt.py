@@ -42,9 +42,14 @@ the parallel-beam area density (disk pdf x |cos|).  Environment escapes are
 weighted as s=0 strategies with a pseudo-vertex at infinity against both
 NEE-env and the light-connection strategies.
 
-Known deviation (documented, test-visible): no participating media in the
-bidir machinery (the volpath integrator covers media unidirectionally;
-ref: medium-aware ``PathEdge``, ``include/mitsuba/bidir/edge.h:32-76``).
+Participating media (round 4, ``include/mitsuba/bidir/edge.h:32-76``
+``PathEdge`` analog): subpath walks and every connection strategy carry
+Beer-Lambert edge transmittance with per-lane medium ids tracked across
+boundary crossings (:func:`_seg_tr`); absorption-only volumetric scenes
+agree with volpath (tests/test_bdpt.py::TestMediaAwareBDPT).  Remaining
+documented deviation: no *medium vertices* on subpaths — in-scattered
+light is carried unidirectionally by volpath only — and heterogeneous
+grids fall back to their homogeneous sigma_t on bidir edges.
 """
 from __future__ import annotations
 
@@ -116,7 +121,8 @@ def _adjoint_correction(ns, ng, wi_world, wo_world):
 
 
 def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
-                start_p, start_n, adjoint=False, infinite0=None):
+                start_p, start_n, adjoint=False, infinite0=None,
+                medium0=None):
     """Extend a subpath by up to ``n_steps`` surface vertices.
 
     Returns (vertex list, sampler, escape record).  Each vertex dict holds
@@ -125,6 +131,12 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
     ``pdf_rev`` (area at THIS vertex as if sampled backward), and flags.
     The walk also fills ``prev_pdf_rev`` slots one step behind, and reports
     escaped lanes (for environment handling) with their direction + pdf.
+
+    ``medium0``: optional (N,) per-lane starting medium ids — each walk
+    edge then multiplies Beer-Lambert transmittance into ``beta`` (the
+    sampling densities are untouched: absorption is pure throughput, see
+    :func:`_seg_tr`), medium ids are tracked across boundary crossings,
+    and each vertex records its arrival-side medium in ``mid``.
     """
     verts = []
     s = sampler
@@ -135,11 +147,21 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
     pdf_delta = jnp.zeros(pdf_dir0.shape, bool)
     alive = jnp.ones(pdf_dir0.shape, bool)
     escape = None
+    mid = medium0
 
     for i in range(n_steps):
         hit = scene.ray_intersect(prev_p, cur_d)
         it = scene.interaction(prev_p, cur_d, hit)
         valid = alive & it.valid
+        if mid is not None:
+            tr = _seg_tr(scene, mid, hit.t)
+            beta = beta * jnp.where(valid[..., None], tr, 1.0)
+            # escaped lanes in an absorbing ambient medium attenuate away
+            from ..media import medium as med
+
+            _ss0, st0, _p0, _g0 = med.medium_params(scene.media, mid)
+            esc_kill = (alive & ~it.valid)[..., None] & (st0 > 0)
+            beta = jnp.where(esc_kill, 0.0, beta)
         if i == 0:
             # record escaped primary/secondary rays once (env contribution)
             esc0 = alive & ~it.valid
@@ -174,6 +196,7 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
             beta=beta, pdf_fwd=pdf_fwd, pdf_rev=jnp.zeros_like(pdf_fwd),
             delta=lane_is_delta(bparams), valid=valid,
             emitter=scene.emitter_at(it),
+            mid=mid,
         )
 
         s, blk = mrng.next_block4(s)
@@ -206,6 +229,10 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
         pdf_dir = jnp.where(bs.delta, 0.0, bs.pdf)
         pdf_delta = bs.delta
         alive = valid & (jnp.sum(jnp.abs(bs.weight), -1) > 0)
+        if mid is not None:
+            mid = jnp.where(
+                valid, _medium_transition(scene, it.shape, wo_world,
+                                          it.ng, mid), mid)
         prev_p, prev_n = it.p, it.ns
         cur_d = wo_world
         verts.append(v)
@@ -440,6 +467,40 @@ def mis_weight(scene: Scene, light_vs, eye_vs, s, t, overrides):
 # Strategy evaluation
 # ---------------------------------------------------------------------------
 
+def _medium_transition(scene, shape_id, d_world, ng, cur_mid):
+    """New medium id after crossing a surface along d_world
+    (array-API twin of volpath's _medium_transition_v)."""
+    from ..core.types import INVALID
+
+    sid = jnp.where(shape_id == INVALID, 0, shape_id)
+    interior = scene.shape_interior[sid]
+    exterior = scene.shape_exterior[sid]
+    entering = m.dot(d_world, ng) < 0
+    new = jnp.where(entering, interior, exterior)
+    has = (interior != INVALID) | (exterior != INVALID)
+    return jnp.where((shape_id != INVALID) & has, new, cur_mid)
+
+
+def _seg_tr(scene, mid, dist):
+    """Medium-aware edge transmittance (the ``PathEdge`` analog,
+    ``/root/reference/include/mitsuba/bidir/edge.h:32-76``): homogeneous
+    Beer-Lambert along a segment of length ``dist`` in per-lane medium
+    ``mid`` (vacuum for INVALID).
+
+    Media-aware BDPT stage (round 4): subpath walks and every connection
+    strategy carry edge transmittance, with per-lane medium ids tracked
+    across boundary crossings — absorption-only volumetric scenes agree
+    with volpath (tests/test_bdpt.py).  Remaining documented deviation:
+    no *medium vertices* on subpaths (in-scattered light is carried
+    unidirectionally by volpath only), and heterogeneous grids fall back
+    to their homogeneous sigma_t here.
+    """
+    from ..media import medium as med
+
+    _ss, st, _pt, _g = med.medium_params(scene.media, mid)
+    return med.transmittance(st, dist)
+
+
 def _occluded_seg(scene, a, b):
     d2 = _dist2(a, b)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
@@ -457,13 +518,20 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     n = o_cam.shape[0]
     s = sampler
 
+    # ambient medium for subpath origins (camera and lights both sit in
+    # the scene's ambient medium; interior media are entered by crossing
+    # their bounding shapes during the walk)
+    has_media = scene.media.any
+    medium0 = (jnp.full((n,), scene.camera_medium, Int)
+               if has_media else None)
+
     # --- eye subpath -------------------------------------------------------
     cam_v = dict(p=o_cam, pdf_fwd=jnp.ones((n,), Float),
                  pdf_rev=jnp.zeros((n,), Float))
     pdf_cam = camera_pdf_dir(scene, d_cam)
     eye_vs, s, esc, _cam_rev = random_walk(
         scene, s, o_cam, d_cam, jnp.ones((n, 3), Float), pdf_cam,
-        max_depth, o_cam, d_cam)
+        max_depth, o_cam, d_cam, medium0=medium0)
     # primary-escape marker for env weighting
     esc_primary = esc["escaped"] & ~eye_vs[0]["valid"] if eye_vs else esc["escaped"]
 
@@ -480,9 +548,10 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     light_tail, s, _lesc, l0_rev = random_walk(
         scene, s, lv0["p"], lv0["d"], beta_l, lv0["pdf_dir"],
         max(max_depth - 1, 0), lv0["p"], lv0["ns"], adjoint=True,
-        infinite0=lv0["infinite"])
+        infinite0=lv0["infinite"], medium0=medium0)
     lv0 = dict(lv0)
     lv0["pdf_rev"] = l0_rev
+    lv0["mid"] = medium0
     light_vs = [lv0] + light_tail
     # a light vertex is usable only if the whole prefix is valid
     pref = lv0["valid"]
@@ -573,6 +642,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
                              ds.dist * (1.0 - SHADOW_EPSILON))
         ok = v["valid"] & (ds.pdf > 0) & ~occ
         contrib = v["beta"] * ds.value * f / jnp.maximum(ds.pdf, 1e-20)[..., None]
+        if has_media:
+            contrib = contrib * _seg_tr(scene, v["mid"], ds.dist)
 
         q_p = v["p"] + ds.d * ds.dist[..., None]
         cos_q = jnp.abs(m.dot(ds.n, -ds.d))
@@ -622,6 +693,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
                              dist * (1.0 - SHADOW_EPSILON))
         ok = v["valid"] & vis & ~occ
         val = v["beta"] * f * (We / jnp.maximum(dist * dist, 1e-20))[..., None]
+        if has_media:
+            val = val * _seg_tr(scene, v["mid"], dist)
 
         rev_prev = _to_area(
             bsdf_pdf(v["bp"], wo_local, v["wi_local"]), v["p"],
@@ -659,6 +732,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             ok = ok0 & ~occ
             contrib = vp["beta"] * vq["beta"] * f_p * f_q / \
                 jnp.maximum(dist * dist, 1e-20)[..., None]
+            if has_media:
+                contrib = contrib * _seg_tr(scene, vp["mid"], dist)
 
             rev_prev_q = _to_area(
                 bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), vq["p"],

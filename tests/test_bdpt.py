@@ -138,3 +138,85 @@ def _load(xml):
         with open(p, "w") as f:
             f.write(xml)
         return load_scene(p)
+
+
+class TestMediaAwareBDPT:
+    """Medium-aware bidirectional transport, stage 1 (edge.h:32-76 analog):
+    subpath walks and all connection strategies carry Beer-Lambert edge
+    transmittance with per-lane medium tracking.  Absorption-only
+    volumetric scenes must agree between bdpt and volpath (the VERDICT
+    acceptance test); in-scattering (medium vertices) remains a
+    documented deviation carried by volpath unidirectionally."""
+
+    def _global_medium_scene(self, sigma_a=0.35):
+        import numpy as np
+        from mitsuba_im_tpu.scene.build import SceneBuilder
+        from mitsuba_im_tpu.scene.mesh import TriMesh
+        from mitsuba_im_tpu.sensor.table import make_sensor, S_PERSPECTIVE
+        from mitsuba_im_tpu.emitter import table as et
+        from mitsuba_im_tpu.media.medium import PH_ISOTROPIC
+
+        b = SceneBuilder()
+        b.media_records.append(dict(
+            kind="homogeneous", sigma_s=np.zeros(3),
+            sigma_a=np.full(3, sigma_a), scale=1.0,
+            phase=dict(type=PH_ISOTROPIC, g=0.0)))
+        b.camera_medium = 0
+
+        # diffuse floor, light above (the layout of the irawan scene,
+        # which renders correctly end to end)
+        sid = b.new_shape(b.default_bsdf())
+        pts = np.array([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+                       float)
+        m = TriMesh(pts, np.array([[0, 1, 2], [2, 3, 0]]))
+        m.normals = np.tile([[0.0, 1.0, 0.0]], (4, 1))
+        m.uvs = np.zeros((4, 2))
+        b.add_trimesh(m, sid)
+
+        lsh = b.new_shape(b.default_bsdf())
+        lm = TriMesh(np.array([[-0.3, 1.5, -0.3], [0.3, 1.5, -0.3],
+                               [0.3, 1.5, 0.3], [-0.3, 1.5, 0.3]], float),
+                     np.array([[0, 1, 2], [2, 3, 0]]))
+        lm.normals = np.tile([[0.0, -1.0, 0.0]], (4, 1))
+        lm.uvs = np.zeros((4, 2))
+        b.add_trimesh(lm, lsh)
+        eid = b.add_emitter(dict(type=et.EM_AREA,
+                                 radiance=np.full(3, 12.0), shape=lsh))
+        b.shape_emitter[lsh] = eid
+
+        from mitsuba_im_tpu.core.transform import Transform
+        b.sensor = make_sensor(
+            S_PERSPECTIVE,
+            Transform.look_at([0, 1.0, 2.5], [0, 0.2, 0], [0, 1, 0]),
+            fov_deg=50.0)
+        scene, settings = b.build()
+        settings.width = settings.height = 20
+        return scene, settings
+
+    def test_absorbing_medium_bdpt_matches_volpath(self):
+        from mitsuba_im_tpu.render.job import render
+
+        scene, settings = self._global_medium_scene()
+        settings.integrator = "volpath"
+        settings.integrator_props = {"max_depth": 4}
+        ref = render(scene, settings, spp=256)
+        settings.integrator = "bdpt"
+        img = render(scene, settings, spp=96)
+        assert ref.mean() > 1e-4
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.08, (img.mean(), ref.mean())
+
+    def test_transmittance_actually_attenuates(self):
+        """The same scene with and without absorption differ by a
+        noticeable factor through bdpt (guards against the medium being
+        silently ignored)."""
+        from mitsuba_im_tpu.render.job import render
+
+        s0, set0 = self._global_medium_scene(sigma_a=0.0)
+        s1, set1 = self._global_medium_scene(sigma_a=0.5)
+        for st in (set0, set1):
+            st.integrator = "bdpt"
+            st.integrator_props = {"max_depth": 4}
+        clear = render(s0, set0, spp=64)
+        hazy = render(s1, set1, spp=64)
+        assert hazy.mean() < 0.45 * clear.mean()

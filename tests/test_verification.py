@@ -89,7 +89,7 @@ def test_mcmc_replay_bitwise(cornell):
     def run():
         u = jnp.linspace(0.01, 0.99, 16 * nb * 4).reshape(16, nb, 4)
         pos, li, I = ps._eval(scene, u, cfg, 24, 24)
-        return np.concatenate([np.asarray(pos), np.asarray(li),
+        return np.concatenate([np.asarray(pos[:, 0]), np.asarray(li[:, 0]),
                                np.asarray(I)[:, None]], axis=1)
 
     assert verify_replay(scene, run)
