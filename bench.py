@@ -105,7 +105,10 @@ def bench_fwdbwd():
     max_depth = 5
     cfg = PathConfig(max_depth=max_depth, remat=True)  # path replay
     n_iters = max_depth - 1
-    W = H = 512  # backward pass doubles live memory; keep under HBM
+    # with per-bounce rematerialization the full 1024^2 wavefront fits in
+    # HBM and amortizes fixed costs better than the old 512^2 config
+    # (0.473 vs 0.457 Grays/s measured; see docs/PERF_NOTES.md)
+    W = H = 1024
     n = W * H
 
     def loss(refl, scene, sample_idx):

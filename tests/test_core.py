@@ -209,6 +209,7 @@ class TestAliasSampling:
             c = np.bincount(np.clip((f * 4).astype(int), 0, 3), minlength=4)
             np.testing.assert_allclose(c / c.sum(), 0.25, atol=0.03)
 
+    @pytest.mark.slow
     def test_alias_matches_cdf_pdf(self):
         """Alias and CDF paths agree on the density they report."""
         rng = np.random.default_rng(9)

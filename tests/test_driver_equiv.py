@@ -44,7 +44,11 @@ def _cmp(a, b):
 
 
 @pytest.mark.quick
-@pytest.mark.parametrize("front", [512, 1000, 4096])
+@pytest.mark.parametrize("front", [
+    512,
+    pytest.param(1000, marks=pytest.mark.slow),
+    pytest.param(4096, marks=pytest.mark.slow),
+])
 def test_driver_matches_lockstep(setup, front):
     h, o, d = setup
     lock = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30, front=1 << 20)
@@ -52,7 +56,7 @@ def test_driver_matches_lockstep(setup, front):
     _cmp(drv, lock)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_driver_matches_lockstep_anyhit(setup):
     h, o, d = setup
     lock = hy.intersect_hierarchy(h, o, d, 1e-4, 1e30, front=1 << 20,
@@ -73,7 +77,7 @@ def test_driver_matches_lockstep_masked(setup):
     _cmp(drv, lock)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_driver_finite_tmax(setup):
     """tmax must bound t for misses through the driver path too."""
     h, o, d = setup

@@ -22,7 +22,9 @@ def _rand_rays(rng, n, lo=-2, hi=2):
 
 @pytest.mark.quick
 class TestHierarchy:
-    @pytest.mark.parametrize("n_tris", [70, 700, 9000])
+    @pytest.mark.parametrize("n_tris", [
+        pytest.param(70, marks=pytest.mark.slow), 700, 9000,
+    ])
     def test_matches_brute_force(self, rng, n_tris):
         p0, e1, e2 = random_tri_soup(n_tris, rng)
         g = make_geom(p0, e1, e2)
@@ -89,6 +91,7 @@ class TestHierarchy:
             np.asarray(st_all["t"])[am & np.asarray(st_all["found"])],
             rtol=1e-5)
 
+    @pytest.mark.slow
     def test_anyhit(self, rng):
         p0, e1, e2 = random_tri_soup(3000, rng)
         g = make_geom(p0, e1, e2)
@@ -99,6 +102,7 @@ class TestHierarchy:
         st = hy.intersect_hierarchy(h, o, d, 1e-4, 10.0, any_hit=True)
         np.testing.assert_array_equal(occ_b, np.asarray(st["found"]))
 
+    @pytest.mark.slow
     def test_bunny(self, rng):
         path = "/root/reference/data/tests/bunny.ply"
         if not os.path.exists(path):
@@ -147,7 +151,10 @@ class TestMotionHierarchy:
         f2 = e2 * 0.9
         return (p0, e1, e2), (q0.astype(np.float32), f1, f2)
 
-    @pytest.mark.parametrize("t", [0.0, 0.37, 1.0])
+    @pytest.mark.parametrize("t", [
+        pytest.param(0.0, marks=pytest.mark.slow),
+        0.37, 1.0,
+    ])
     def test_matches_lerped_brute(self, rng, t):
         (p0, e1, e2), (q0, f1, f2) = self._soup_pair(rng, 4000)
         h = hy.build_hierarchy_motion(p0, e1, e2, q0, f1, f2)

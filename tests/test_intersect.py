@@ -39,6 +39,7 @@ def make_geom(p0, e1, e2):
 
 
 class TestBruteForce:
+    @pytest.mark.slow
     def test_single_triangle(self):
         g = make_geom(
             np.array([[0, 0, 0]], np.float32),
@@ -52,6 +53,7 @@ class TestBruteForce:
         np.testing.assert_allclose(float(h.t[0]), 1.0, atol=1e-5)
         np.testing.assert_allclose(float(h.u[0]), 0.25, atol=1e-5)
 
+    @pytest.mark.slow
     def test_sphere(self):
         g = geo.make_geometry(
             None,
@@ -118,6 +120,7 @@ class TestBVH:
             np.asarray(hb.t)[mask], np.asarray(st["t"])[mask], rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_occlusion_matches(self, rng):
         p0, e1, e2 = random_tri_soup(200, rng)
         g = make_geom(p0, e1, e2)

@@ -40,6 +40,7 @@ class TestMipPyramid:
         # coarsest level is the global average
         np.testing.assert_allclose(atlas[offs[nl - 1]], 0.5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_filtered_lookup_converges_to_mean(self):
         """A footprint covering the whole texture returns its average."""
         from mitsuba_im_tpu.texture.texture import (TextureBuilder,

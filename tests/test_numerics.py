@@ -92,6 +92,7 @@ class TestVMF:
 
 
 class TestSH:
+    @pytest.mark.slow
     def test_project_reconstruct(self):
         from mitsuba_im_tpu.core.sh import project_function, eval_sh
 

@@ -40,6 +40,7 @@ class TestTiledFilm:
 
 @pytest.mark.quick
 class TestResampler:
+    @pytest.mark.slow
     def test_constant_preserved(self):
         from mitsuba_im_tpu.film.resample import resample
 

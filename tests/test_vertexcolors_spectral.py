@@ -45,6 +45,7 @@ def _colored_ply(path):
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_vertexcolors_interpolation(tmp_path):
     """The baked bitmap + per-corner UVs reproduce barycentric interpolation
     of the vertex colors exactly."""
