@@ -85,27 +85,114 @@ def _estimate_irradiance(scene, p, ns, ss, ts, valid, seed, *, n_samples,
     return E, R
 
 
-def _gather_cache(p, ns, rec_p, rec_n, rec_E, rec_R, rec_valid, quality):
-    """Dense Ward interpolation: (N, M) weights -> per-pixel irradiance."""
-    d = jnp.linalg.norm(p[:, None, :] - rec_p[None, :, :], axis=-1)  # (N,M)
-    ndot = jnp.clip(jnp.einsum("nc,mc->nm", ns, rec_n), -1.0, 1.0)
-    w = 1.0 / (d / jnp.maximum(rec_R[None, :], 1e-4)
+DENSE_MAX = 1024   # below this record count the exact dense product wins
+K_DENSE = 256      # largest-R records always evaluated densely
+GRID_CAP = 64      # records visited per neighbor cell (27-cell query)
+
+
+def _ward_accum(p, ns, cp, cn, cE, cR, cvalid, quality, acc):
+    """Accumulate Ward weights for one candidate record per query lane."""
+    w_acc, E_acc, dmin, E_near = acc
+    d = jnp.linalg.norm(p - cp, axis=-1)
+    ndot = jnp.clip(jnp.sum(ns * cn, -1), -1.0, 1.0)
+    w = 1.0 / (d / jnp.maximum(cR, 1e-4)
                + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
-    ok = (w > 1.0 / quality) & rec_valid[None, :] & (ndot > 0.1)
+    ok = (w > 1.0 / quality) & cvalid & (ndot > 0.1)
     w = jnp.where(ok, w, 0.0)
-    wsum = jnp.sum(w, axis=1)
-    E = jnp.einsum("nm,mc->nc", w, rec_E) / jnp.maximum(wsum, 1e-9)[..., None]
-    # fallback: nearest valid record when no record passes the criterion
-    d_masked = jnp.where(rec_valid[None, :] & (ndot > 0.0), d, jnp.inf)
-    nearest = jnp.argmin(d_masked, axis=1)
-    E_near = rec_E[nearest]
+    near_ok = cvalid & (ndot > 0.0)
+    d_n = jnp.where(near_ok, d, jnp.inf)
+    better = d_n < dmin
+    return (w_acc + w, E_acc + w[..., None] * cE,
+            jnp.where(better, d_n, dmin),
+            jnp.where(better[..., None], cE, E_near))
+
+
+def _gather_cache(p, ns, rec_p, rec_n, rec_E, rec_R, rec_valid, quality,
+                  grid=None):
+    """Ward interpolation over the record set.
+
+    Dense (N, M) evaluation for small caches; for large ones a **hybrid
+    hash-grid cull** (the reference octree's job,
+    ``/root/reference/src/librender/irrcache.cpp`` lookup): records are
+    split by validity radius — the ``K_DENSE`` largest-R records (whose
+    reach can span the scene, e.g. sky-facing records with harmonic-mean
+    distance ~inf) stay dense-exact, while the compact majority live in a
+    27-neighborhood spatial hash with cell = quality * max R of the grid
+    side, which conservatively bounds the Ward acceptance radius
+    d < quality * R.  Query cost drops from O(N*M) to
+    O(N * (K_DENSE + 27 * GRID_CAP)) — sub-quadratic in the cache size
+    (the same sort-based-grid design as the dipole's culled gather,
+    subsurface/__init__.py).
+    """
+    if grid is None:
+        d = jnp.linalg.norm(p[:, None, :] - rec_p[None, :, :], axis=-1)
+        ndot = jnp.clip(jnp.einsum("nc,mc->nm", ns, rec_n), -1.0, 1.0)
+        w = 1.0 / (d / jnp.maximum(rec_R[None, :], 1e-4)
+                   + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
+        ok = (w > 1.0 / quality) & rec_valid[None, :] & (ndot > 0.1)
+        w = jnp.where(ok, w, 0.0)
+        wsum = jnp.sum(w, axis=1)
+        E = jnp.einsum("nm,mc->nc", w, rec_E) \
+            / jnp.maximum(wsum, 1e-9)[..., None]
+        # fallback: nearest valid record when no record qualifies
+        d_masked = jnp.where(rec_valid[None, :] & (ndot > 0.0), d, jnp.inf)
+        nearest = jnp.argmin(d_masked, axis=1)
+        E_near = rec_E[nearest]
+        return jnp.where((wsum > 0)[..., None], E, E_near)
+
+    from .sppm import _cell_hash
+
+    N = p.shape[0]
+    M = rec_p.shape[0]
+    dense_ids, order, bucket, cell = grid
+
+    # dense part: the few long-reach records, one batched (N, K) product
+    dp, dn = rec_p[dense_ids], rec_n[dense_ids]
+    dE, dR = rec_E[dense_ids], rec_R[dense_ids]
+    dv = rec_valid[dense_ids]
+    d = jnp.linalg.norm(p[:, None, :] - dp[None, :, :], axis=-1)
+    ndot = jnp.clip(jnp.einsum("nc,kc->nk", ns, dn), -1.0, 1.0)
+    w = 1.0 / (d / jnp.maximum(dR[None, :], 1e-4)
+               + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
+    ok = (w > 1.0 / quality) & dv[None, :] & (ndot > 0.1)
+    w = jnp.where(ok, w, 0.0)
+    d_n = jnp.where(dv[None, :] & (ndot > 0.0), d, jnp.inf)
+    near_k = jnp.argmin(d_n, axis=1)
+    acc = (jnp.sum(w, axis=1), jnp.einsum("nk,kc->nc", w, dE),
+           jnp.min(d_n, axis=1), dE[near_k])
+
+    # grid part: 27-neighborhood, up to GRID_CAP records per cell
+    base = jnp.floor(p / cell).astype(jnp.int32)
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], jnp.int32)
+    cc = base[None, :, :] + offs[:, None, :]
+    b = _cell_hash(cc)                        # (27, N)
+    starts = jnp.searchsorted(bucket, b, side="left")
+    ends = jnp.searchsorted(bucket, b, side="right")
+    runs = jnp.minimum(ends - starts, GRID_CAP)
+
+    def body(j, acc):
+        ci = j // GRID_CAP
+        k = j % GRID_CAP
+        st = jax.lax.dynamic_index_in_dim(starts, ci, 0, keepdims=False)
+        rn = jax.lax.dynamic_index_in_dim(runs, ci, 0, keepdims=False)
+        idx = jnp.minimum(st + k, M - 1)
+        ri = order[idx]
+        live = (k < rn)
+        return _ward_accum(p, ns, rec_p[ri], rec_n[ri], rec_E[ri],
+                           rec_R[ri], rec_valid[ri] & live, quality, acc)
+
+    acc = jax.lax.fori_loop(0, 27 * GRID_CAP, body, acc)
+    wsum, E_acc, _dmin, E_near = acc
+    E = E_acc / jnp.maximum(wsum, 1e-9)[..., None]
     return jnp.where((wsum > 0)[..., None], E, E_near)
 
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "spp", "kind", "seed"))
 def _final_pass(scene, rec_p, rec_n, rec_E, rec_R, rec_valid, quality,
-                sample_idx, *, width, height, spp, kind, seed):
+                sample_idx, grid=None, *, width, height, spp, kind, seed):
     from ..bsdf.eval import bsdf_eval
 
     W, H = width, height
@@ -144,7 +231,7 @@ def _final_pass(scene, rec_p, rec_n, rec_E, rec_R, rec_valid, quality,
 
     # indirect diffuse from the cache
     E_px = _gather_cache(itp.p, itp.ns, rec_p, rec_n, rec_E, rec_R,
-                         rec_valid, quality)
+                         rec_valid, quality, grid=grid)
     li = li + jnp.where(itp.valid[..., None],
                         bparams.refl * E_px / jnp.pi, 0.0)
     return li
@@ -179,11 +266,35 @@ def render_irrcache(scene, settings, spp=None):
         scene, it.p, it.ns, it.ss, it.ts_, it.valid,
         jnp.uint32(settings.seed + 1), n_samples=n_hemi, max_depth=max_depth)
 
+    grid = None
+    M = int(pix_rec.shape[0])
+    if M > DENSE_MAX:
+        # hybrid hash-grid cull (see _gather_cache): long-reach records
+        # dense, the compact majority in a spatial hash whose cell bounds
+        # the Ward acceptance radius
+        from .sppm import build_grid
+
+        R_h = np.asarray(R)
+        valid_h = np.asarray(it.valid)
+        order_R = np.argsort(np.where(valid_h, -R_h, np.inf))
+        dense_ids = np.sort(order_R[:K_DENSE]).astype(np.int32)
+        in_dense = np.zeros(M, bool)
+        in_dense[dense_ids] = True
+        grid_mask = valid_h & ~in_dense
+        r_grid = R_h[grid_mask]
+        r_max = float(r_grid.max()) if r_grid.size else 1.0
+        cell = max(quality * r_max, 1e-4)
+        g_order, g_bucket = build_grid(
+            jnp.asarray(np.asarray(it.p)),
+            jnp.asarray(grid_mask), jnp.asarray(cell, Float))
+        grid = (jnp.asarray(dense_ids), g_order, g_bucket,
+                jnp.asarray(cell, Float))
+
     acc = 0.0
     for si in range(spp):
         acc = acc + _final_pass(
             scene, it.p, it.ns, E_ind, R, it.valid,
-            jnp.asarray(quality, Float), jnp.uint32(si),
+            jnp.asarray(quality, Float), jnp.uint32(si), grid,
             width=W, height=H, spp=spp, kind=kind, seed=settings.seed)
     img = np.asarray(acc / spp).reshape(H, W, 3)
     return np.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)
