@@ -1,11 +1,15 @@
-"""``mtsimport`` — OBJ(+MTL) to scene-XML converter.
+"""``mtsimport`` — OBJ(+MTL) / COLLADA(.dae) to scene-XML converter.
 
 Parity target: ``/root/reference/src/converter/`` (the ``mtsimport``
-tool): convert an external model into a renderable scene — geometry
-re-written as a multi-shape ``.serialized`` file, one shape + BSDF per
-material, plus a default camera/film/integrator when the input has none
-(COLLADA input, which the reference gates behind an optional Xerces
-dependency, is out of scope; OBJ/MTL is the widely-used path).
+tool, ``collada.cpp`` + ``obj.cpp``): convert an external model into a
+renderable scene — geometry re-written as a multi-shape ``.serialized``
+file, one shape + BSDF per material, plus a default camera/film/
+integrator when the input has none.  The COLLADA path is a clean-room
+minimal importer (stdlib ElementTree; no Xerces/OpenCOLLADA): triangles
++ polylist primitives, per-corner NORMAL/TEXCOORD streams, baked
+visual-scene node transforms (matrix / translate / rotate / scale),
+Z_UP/X_UP axis conversion, and lambert/phong/blinn effect mapping onto
+the same diffuse/phong/dielectric taxonomy as the MTL path.
 
 Material mapping (Wavefront MTL -> plugin, mirroring the reference
 converter's lambert/phong/dielectric taxonomy):
@@ -16,7 +20,7 @@ converter's lambert/phong/dielectric taxonomy):
   Ks > 0                      -> ``phong`` (exponent = Ns)
   otherwise                   -> ``diffuse`` (map_Kd -> bitmap texture)
 
-Usage: python -m mitsuba_im_tpu.cli.mtsimport [-r WxH] model.obj out.xml
+Usage: python -m mitsuba_im_tpu.cli.mtsimport [-r WxH] model.{obj,dae} out.xml
 """
 from __future__ import annotations
 
@@ -146,6 +150,265 @@ def load_obj_grouped(path: str):
 
 
 # ---------------------------------------------------------------------------
+# COLLADA (.dae) parsing — clean-room minimal importer
+# ---------------------------------------------------------------------------
+
+_DAE_NS = "{http://www.collada.org/2005/11/COLLADASchema}"
+
+
+def _dae_tag(e):
+    return e.tag.split("}", 1)[-1]
+
+
+def _dae_sources(mesh_el):
+    """source id -> (H, stride) float array."""
+    out = {}
+    for src in mesh_el:
+        if _dae_tag(src) != "source":
+            continue
+        arr = None
+        stride = 3
+        for ch in src.iter():
+            t = _dae_tag(ch)
+            if t == "float_array":
+                arr = np.asarray(
+                    (ch.text or "").split(), np.float64)
+            elif t == "accessor":
+                stride = int(ch.get("stride", 3))
+        if arr is not None:
+            out["#" + src.get("id", "")] = arr.reshape(-1, stride)
+    return out
+
+
+def _dae_node_transform(node):
+    """Compose matrix/translate/rotate/scale children into one 4x4."""
+    M = np.eye(4)
+    for ch in node:
+        t = _dae_tag(ch)
+        vals = np.asarray((ch.text or "").split(), np.float64) \
+            if ch.text else np.zeros(0)
+        if t == "matrix" and vals.size == 16:
+            M = M @ vals.reshape(4, 4)
+        elif t == "translate" and vals.size == 3:
+            T = np.eye(4)
+            T[:3, 3] = vals
+            M = M @ T
+        elif t == "rotate" and vals.size == 4:
+            axis = vals[:3]
+            n = np.linalg.norm(axis)
+            if n > 0:
+                axis = axis / n
+                a = np.deg2rad(vals[3])
+                c, s = np.cos(a), np.sin(a)
+                x, y, z = axis
+                K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+                R3 = np.eye(3) * c + s * K + (1 - c) * np.outer(axis, axis)
+                R = np.eye(4)
+                R[:3, :3] = R3
+                M = M @ R
+        elif t == "scale" and vals.size == 3:
+            S = np.diag(np.append(vals, 1.0))
+            M = M @ S
+    return M
+
+
+def load_dae_grouped(path: str):
+    """Parse a COLLADA file into per-material TriMesh groups.
+
+    Returns (groups, materials) shaped exactly like load_obj_grouped so
+    the converter backend is shared (``collada.cpp`` parity: geometry +
+    effect import; cameras/lights fall back to the framing defaults)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+
+    def findall(el, *tags):
+        cur = [el]
+        for t in tags:
+            nxt = []
+            for e in cur:
+                nxt.extend(e.findall(_DAE_NS + t))
+            cur = nxt
+        return cur
+
+    # up-axis conversion to Y-up
+    axis_el = findall(root, "asset", "up_axis")
+    up = (axis_el[0].text or "Y_UP").strip() if axis_el else "Y_UP"
+    if up == "Z_UP":
+        A = np.array([[1.0, 0, 0, 0], [0, 0, 1.0, 0],
+                      [0, -1.0, 0, 0], [0, 0, 0, 1.0]])
+    elif up == "X_UP":
+        A = np.array([[0, -1.0, 0, 0], [1.0, 0, 0, 0],
+                      [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+    else:
+        A = np.eye(4)
+
+    # effects -> MTL-style material dicts
+    def _color(effect_el, name):
+        for el in effect_el.iter():
+            if _dae_tag(el) == name:
+                for ch in el:
+                    if _dae_tag(ch) == "color":
+                        v = np.asarray((ch.text or "").split(),
+                                       np.float64)[:3]
+                        return v.tolist()
+        return None
+
+    def _float(effect_el, name):
+        for el in effect_el.iter():
+            if _dae_tag(el) == name:
+                for ch in el:
+                    if _dae_tag(ch) == "float":
+                        return float(ch.text)
+        return None
+
+    effects = {}
+    for eff in findall(root, "library_effects", "effect"):
+        rec = {}
+        kd = _color(eff, "diffuse")
+        ks = _color(eff, "specular")
+        ke = _color(eff, "emission")
+        ns = _float(eff, "shininess")
+        ior = _float(eff, "index_of_refraction")
+        tr = _float(eff, "transparency")
+        if kd:
+            rec["Kd"] = kd
+        if ks:
+            rec["Ks"] = ks
+        if ke and max(ke) > 0:
+            rec["Ke"] = ke
+        if ns is not None:
+            rec["Ns"] = ns
+        if ior is not None and abs(ior - 1.0) > 1e-3:
+            rec["Ni"] = ior
+            rec["illum"] = 7
+        if tr is not None and tr < 1.0:
+            rec["d"] = tr
+        effects["#" + eff.get("id", "")] = rec
+
+    materials = {}
+    for mat in findall(root, "library_materials", "material"):
+        inst = mat.find(_DAE_NS + "instance_effect")
+        url = inst.get("url", "") if inst is not None else ""
+        materials[mat.get("id", "")] = effects.get(url, {})
+
+    # geometries: id -> list of (material_symbol, TriMesh builder inputs)
+    geoms = {}
+    for geo in findall(root, "library_geometries", "geometry"):
+        mesh_el = geo.find(_DAE_NS + "mesh")
+        if mesh_el is None:
+            continue
+        sources = _dae_sources(mesh_el)
+        # vertices indirection: VERTEX input points at <vertices>
+        vert_map = {}
+        for v_el in mesh_el.findall(_DAE_NS + "vertices"):
+            for inp in v_el.findall(_DAE_NS + "input"):
+                if inp.get("semantic") == "POSITION":
+                    vert_map["#" + v_el.get("id", "")] = \
+                        sources.get(inp.get("source", ""))
+        prims = []
+        for prim in mesh_el:
+            kind = _dae_tag(prim)
+            if kind not in ("triangles", "polylist"):
+                continue
+            inputs = {}
+            max_off = 0
+            for inp in prim.findall(_DAE_NS + "input"):
+                sem = inp.get("semantic")
+                off = int(inp.get("offset", 0))
+                max_off = max(max_off, off)
+                srcu = inp.get("source", "")
+                data = (vert_map.get(srcu) if sem == "VERTEX"
+                        else sources.get(srcu))
+                inputs[sem] = (off, data)
+            p_el = prim.find(_DAE_NS + "p")
+            if p_el is None or "VERTEX" not in inputs:
+                continue
+            p = np.asarray((p_el.text or "").split(), np.int64)
+            stride = max_off + 1
+            corners = p.reshape(-1, stride)
+            if kind == "polylist":
+                vc_el = prim.find(_DAE_NS + "vcount")
+                vcount = np.asarray((vc_el.text or "").split(), np.int64) \
+                    if vc_el is not None else None
+            else:
+                vcount = None
+            prims.append((prim.get("material", ""), inputs, corners,
+                          vcount))
+        geoms["#" + geo.get("id", "")] = prims
+
+    # visual scene: instance geometries with baked node transforms
+    groups = []
+    for node in findall(root, "library_visual_scenes", "visual_scene",
+                        "node"):
+        stack = [(node, np.eye(4))]
+        while stack:
+            nd, Mp = stack.pop()
+            M = Mp @ _dae_node_transform(nd)
+            for ch in nd.findall(_DAE_NS + "node"):
+                stack.append((ch, M))
+            for ig in nd.findall(_DAE_NS + "instance_geometry"):
+                sym2mat = {}
+                for im in ig.iter():
+                    if _dae_tag(im) == "instance_material":
+                        sym2mat[im.get("symbol", "")] = \
+                            im.get("target", "").lstrip("#")
+                for (msym, inputs, corners, vcount) in \
+                        geoms.get(ig.get("url", ""), []):
+                    groups.append((sym2mat.get(msym, msym), inputs,
+                                   corners, vcount, A @ M))
+    if not groups:  # no visual scene: import raw geometry untransformed
+        for prims in geoms.values():
+            for (msym, inputs, corners, vcount) in prims:
+                groups.append((msym, inputs, corners, vcount, A))
+
+    out = []
+    for (mat_name, inputs, corners, vcount, M) in groups:
+        pos_off, pos_src = inputs["VERTEX"]
+        n_in = inputs.get("NORMAL")
+        t_in = inputs.get("TEXCOORD")
+        # fan-triangulate polylists
+        if vcount is not None:
+            tri_rows = []
+            c = 0
+            for k in vcount:
+                for j in range(1, int(k) - 1):
+                    tri_rows.extend([c, c + j, c + j + 1])
+                c += int(k)
+            corners = corners[np.asarray(tri_rows, np.int64)]
+        corners = corners.reshape(-1, 3, corners.shape[-1])
+        remap, pos, nrm, uv, idx = {}, [], [], [], []
+        R = M[:3, :3]
+        Rn = np.linalg.inv(R).T if abs(np.linalg.det(R)) > 1e-12 else R
+        for tri in corners:
+            face = []
+            for crn in tri:
+                key = tuple(int(x) for x in crn)
+                j = remap.get(key)
+                if j is None:
+                    j = len(pos)
+                    remap[key] = j
+                    pp = pos_src[crn[pos_off]]
+                    pos.append(R @ pp[:3] + M[:3, 3])
+                    if n_in is not None and n_in[1] is not None:
+                        nn = Rn @ n_in[1][crn[n_in[0]]][:3]
+                        ln = np.linalg.norm(nn)
+                        nrm.append(nn / ln if ln > 0 else nn)
+                    if t_in is not None and t_in[1] is not None:
+                        uv.append(t_in[1][crn[t_in[0]]][:2])
+                face.append(j)
+            idx.append(face)
+        mesh = TriMesh(
+            np.asarray(pos), np.asarray(idx, np.int64),
+            np.asarray(nrm) if nrm and len(nrm) == len(pos) else None,
+            np.asarray(uv) if uv and len(uv) == len(pos) else None,
+            name=mat_name or "default",
+        )
+        out.append((mat_name, mesh))
+    return out, materials
+
+
+# ---------------------------------------------------------------------------
 # XML emission
 # ---------------------------------------------------------------------------
 
@@ -202,7 +465,10 @@ def _bsdf_xml(mid: str, mat: dict) -> list[str]:
 
 
 def convert(obj_path: str, xml_path: str, resolution=(768, 576)) -> None:
-    groups, materials = load_obj_grouped(obj_path)
+    if obj_path.lower().endswith(".dae"):
+        groups, materials = load_dae_grouped(obj_path)
+    else:
+        groups, materials = load_obj_grouped(obj_path)
     if not groups:
         raise ValueError(f"{obj_path}: no geometry found")
 
@@ -279,7 +545,7 @@ def main(argv=None) -> int:
             print(f"unknown flag {flag}", file=sys.stderr)
             return 2
     if len(argv) != 2:
-        print("usage: mtsimport [-r WxH] model.obj out.xml",
+        print("usage: mtsimport [-r WxH] model.{obj,dae} out.xml",
               file=sys.stderr)
         return 2
     convert(argv[0], argv[1], resolution)

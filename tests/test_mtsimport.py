@@ -87,3 +87,90 @@ def test_convert_and_render(tmp_path):
     img = np.asarray(render(scene, settings))
     assert np.isfinite(img).all()
     assert img.mean() > 1e-3  # constant emitter + glow light the scene
+
+
+DAE_CUBE = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Z_UP</up_axis></asset>
+  <library_effects>
+    <effect id="red-fx"><profile_COMMON><technique sid="common">
+      <lambert>
+        <diffuse><color>0.8 0.1 0.1 1</color></diffuse>
+      </lambert>
+    </technique></profile_COMMON></effect>
+  </library_effects>
+  <library_materials>
+    <material id="redMat"><instance_effect url="#red-fx"/></material>
+  </library_materials>
+  <library_geometries>
+    <geometry id="quad"><mesh>
+      <source id="quad-pos">
+        <float_array id="quad-pos-arr" count="12">
+          -1 -1 0  1 -1 0  1 1 0  -1 1 0</float_array>
+        <technique_common>
+          <accessor source="#quad-pos-arr" count="4" stride="3">
+            <param name="X" type="float"/><param name="Y" type="float"/>
+            <param name="Z" type="float"/></accessor>
+        </technique_common>
+      </source>
+      <source id="quad-nrm">
+        <float_array id="quad-nrm-arr" count="3">0 0 1</float_array>
+        <technique_common>
+          <accessor source="#quad-nrm-arr" count="1" stride="3"/>
+        </technique_common>
+      </source>
+      <vertices id="quad-vtx">
+        <input semantic="POSITION" source="#quad-pos"/>
+      </vertices>
+      <polylist material="symMat" count="1">
+        <input semantic="VERTEX" source="#quad-vtx" offset="0"/>
+        <input semantic="NORMAL" source="#quad-nrm" offset="1"/>
+        <vcount>4</vcount>
+        <p>0 0 1 0 2 0 3 0</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="scene">
+      <node id="n1">
+        <translate>0 0 1</translate>
+        <rotate>0 0 1 90</rotate>
+        <instance_geometry url="#quad">
+          <bind_material><technique_common>
+            <instance_material symbol="symMat" target="#redMat"/>
+          </technique_common></bind_material>
+        </instance_geometry>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+</COLLADA>
+"""
+
+
+def test_collada_import(tmp_path):
+    """COLLADA parity (reference src/converter/collada.cpp): polylist
+    fan-triangulation, Z_UP conversion, baked node TRS, effect->material
+    mapping, end-to-end through the shared serialized/XML backend."""
+    from mitsuba_im_tpu.cli.mtsimport import load_dae_grouped
+
+    dae = os.path.join(tmp_path, "cube.dae")
+    open(dae, "w").write(DAE_CUBE)
+    groups, materials = load_dae_grouped(dae)
+    assert len(groups) == 1
+    name, mesh = groups[0]
+    assert name == "redMat"
+    assert materials["redMat"]["Kd"] == [0.8, 0.1, 0.1]
+    assert mesh.indices.shape == (2, 3)  # quad fan-triangulated
+    p = np.asarray(mesh.positions)
+    # Z_UP: the local +Z offset (translate 0 0 1) becomes +Y after the
+    # axis swap; the quad lies in the y=1 plane
+    np.testing.assert_allclose(p[:, 1], 1.0, atol=1e-6)
+    # rotate 90 about local z maps (+-1, +-1, 0) onto itself as a set
+    assert np.allclose(sorted(np.round(p[:, 0], 4)), [-1, -1, 1, 1])
+
+    xml = os.path.join(tmp_path, "cube.xml")
+    convert(dae, xml, resolution=(16, 16))
+    from mitsuba_im_tpu.scene.xml import load_scene
+
+    scene, settings = load_scene(xml)
+    assert scene.geom.n_tris == 2
