@@ -169,7 +169,10 @@ class Distribution2D:
         row = jnp.where(keep2, j2, self.marg_alias[j2])
         dv = jnp.where(keep2, f2 / jnp.maximum(pj, 1e-20),
                        (f2 - pj) / jnp.maximum(1.0 - pj, 1e-20))
-        v = (row.astype(Float) + jnp.clip(dv, 0.0, 1.0)) / H
+        # clamp strictly inside the texel: an offset that rounds to 1.0
+        # would land in the NEIGHBORING texel, making the reported pdf
+        # disagree with pdf_continuous at the returned uv
+        v = (row.astype(Float) + jnp.clip(dv, 0.0, 0.9995)) / H
 
         x1 = jnp.clip(u1, 0.0, 1.0 - 1e-7) * W
         j1 = jnp.clip(x1.astype(Int), 0, W - 1)
@@ -180,7 +183,7 @@ class Distribution2D:
         col = jnp.where(keep1, j1, self.cond_alias.reshape(-1)[flat1])
         du = jnp.where(keep1, f1 / jnp.maximum(pc, 1e-20),
                        (f1 - pc) / jnp.maximum(1.0 - pc, 1e-20))
-        u = (col.astype(Float) + jnp.clip(du, 0.0, 1.0)) / W
+        u = (col.astype(Float) + jnp.clip(du, 0.0, 0.9995)) / W
         pdf = (self.marg_pmf[row] * H
                * self.cond_pmf.reshape(-1)[row * W + col] * W)
         return jnp.stack([u, v], axis=-1), pdf
