@@ -627,10 +627,10 @@ _NRES = len(_R_KEYS)  # 7
 
 
 def _pack_state(state, centry=None):
-    """All state as ONE (N, 21) f32 matrix (ints/bools bitcast) — result
+    """All state as ONE (N, 22) f32 matrix (ints/bools bitcast) — result
     columns first — so the compaction permute is a single wide row gather
     and the retire-queue write is a leading column slice.  With ``centry``
-    the cache rides along as 64 extra columns (N, 85)."""
+    the cache rides along as 64 extra columns (N, 86)."""
     cols = []
     for k in _ORDER:
         if k in ("ox", "oy", "oz"):

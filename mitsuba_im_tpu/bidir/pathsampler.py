@@ -35,8 +35,13 @@ def n_blocks_bidir(max_depth: int) -> int:
     """Blocks of 4 dims consumed per sampleSplats evaluation.
 
     1 camera + max_depth eye-walk + 2 light-origin + (max_depth-1)
-    light-walk blocks (matches the draw order in bdpt_sample)."""
-    return 1 + max_depth + 2 + max(max_depth - 1, 0)
+    light-walk + (max_depth-1) s=1 NEE blocks (matches the draw order in
+    bdpt_sample: eye walk, light origin, light walk, then one block per
+    eye vertex for next-event estimation).  All of these must be
+    table-backed so MCMC mutations reach every strategy's randoms —
+    otherwise the NEE draws fall off the table and freeze for the whole
+    chain (biased stationary distribution)."""
+    return 1 + max_depth + 2 + 2 * max(max_depth - 1, 0)
 
 
 def n_light_splats(max_depth: int) -> int:

@@ -379,7 +379,13 @@ def load_dae_grouped(path: str):
         corners = corners.reshape(-1, 3, corners.shape[-1])
         remap, pos, nrm, uv, idx = {}, [], [], [], []
         R = M[:3, :3]
-        Rn = np.linalg.inv(R).T if abs(np.linalg.det(R)) > 1e-12 else R
+        detR = np.linalg.det(R)
+        Rn = np.linalg.inv(R).T if abs(detR) > 1e-12 else R
+        # mirroring transforms (det < 0) flip the winding sense: reverse
+        # each face's corner order so geometric normals e1xe2 still point
+        # outward for mirrored instances
+        if detR < 0:
+            corners = corners[:, ::-1, :]
         for tri in corners:
             face = []
             for crn in tri:

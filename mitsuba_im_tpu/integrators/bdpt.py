@@ -812,6 +812,14 @@ def render_bdpt(scene: Scene, settings, spp: int | None = None,
                 progress_cb=None) -> np.ndarray:
     ip = settings.integrator_props
     W, H = settings.width, settings.height
+    if scene.media.has_hetero:
+        from ..core.registry import warn_substitution
+
+        warn_substitution(
+            "integrator", "bdpt over heterogeneous media",
+            "bdpt with homogeneous-sigma_t bidir edges",
+            "grid media fall back to homogeneous sigma_t on bidirectional "
+            "edge transmittance (_seg_tr)")
     spp = spp if spp is not None else settings.spp
     md = ip.get("max_depth", -1)
     max_depth = md if md > 0 else 6

@@ -10,7 +10,13 @@ TPU-native shape: one seed per lane (a full W*H wavefront per pass), then a
 ``lax.fori_loop`` of lockstep small-step mutations in *primary sample space*
 (the reference's lens/caustic path-space perturbations don't vectorize onto
 8x128 lanes; the primary-space perturbation explores the same local
-neighborhoods).  Every step deposits
+neighborhoods).  With ``bidirectional=true`` seeds and chain states are
+evaluated through the unified splat sampler
+(:mod:`..bidir.pathsampler` = the reference ``PathSampler::sampleSplats``,
+``pathsampler.h:121``, which ``erpt_proc.cpp:529`` runs chains over), so
+every BDPT strategy — including the t=1 light-tracing splats that carry
+caustics — is inside the redistribution chain's strategy space.
+Every step deposits
 
     (1-a) * e_d * C_cur/I_cur   at the current state's pixel
   +    a  * e_d * C_prop/I_prop at the proposed state's pixel
@@ -71,8 +77,11 @@ def erpt_pass(scene: Scene, img: jax.Array, pass_idx, seed, *, cfg, width,
 
         accept = u_misc[:, 1] < a
         table = jnp.where(accept[:, None, None], prop, table)
-        pos = jnp.where(accept[:, None], pos_p, pos)
-        color = jnp.where(accept[:, None], color_p, color)
+        # pos/color are (N, S, 2)/(N, S, 3): the accept mask must broadcast
+        # over BOTH trailing dims ((N, 1) against (N, S, 2) right-aligns to
+        # an (N, N, 2) outer product — a silent chain scramble/OOM)
+        pos = jnp.where(accept[:, None, None], pos_p, pos)
+        color = jnp.where(accept[:, None, None], color_p, color)
         I = jnp.where(accept, I_p, I)
         return img, table, pos, color, I
 
@@ -92,6 +101,7 @@ def render_erpt(scene: Scene, settings, spp: int | None = None) -> np.ndarray:
         max_depth=md if md > 0 else 8,
         rr_depth=ip.get("rr_depth", 5),
         n_chains=W * H,
+        bidirectional=ip.get("bidirectional", False),
     )
     seed = jnp.uint32(settings.seed)
     img = jnp.zeros((H, W, 3), Float)

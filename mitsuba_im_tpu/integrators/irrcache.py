@@ -56,7 +56,7 @@ def _estimate_irradiance(scene, p, ns, ss, ts, valid, seed, *, n_samples,
     # hide_emitters drops the depth-1 (direct) term of each hemisphere ray,
     # leaving exactly the indirect irradiance integrand
     cfg = PathConfig(max_depth=max_depth, depth_budget=max_depth,
-                     hide_emitters=True)
+                     hide_emitters=True, coherent=False)
     o = p + ns * EPSILON
 
     def one(i, carry):
@@ -82,6 +82,14 @@ def _estimate_irradiance(scene, p, ns, ss, ts, valid, seed, *, n_samples,
     # cosine-weighted estimator of irradiance: E = pi * mean(Li)
     E = E * (jnp.pi / n_samples)
     R = jnp.where(inv_d > 0, n_samples / jnp.maximum(inv_d, 1e-6), 1e6)
+    # Clamp the validity radius to the scene scale: records whose hemisphere
+    # rays all miss get an "accept everywhere" sentinel, but an unbounded R
+    # must never size the hash grid (one giant cell would collapse every
+    # record into a few buckets and GRID_CAP would silently drop most of
+    # them).  The reference likewise bounds R by the scene AABB
+    # (/root/reference/src/libcore/... irrcache R in [minDist, maxDist]).
+    r_scene = jnp.maximum(scene.emitters.bsphere_radius, 1e-3)
+    R = jnp.clip(R, 1e-4, r_scene)
     return E, R
 
 

@@ -45,6 +45,10 @@ class PathConfig:
     # drop depth<=2 (directly visible emitters + single-bounce direct
     # lighting): the MLT separateDirect split (mlt.cpp directSamples)
     skip_direct: bool = static_field(default=False)
+    # camera bundles are coherent: the intersector's full-width prologue
+    # pays off (+15%); incoherent callers (MCMC chain evals, hemisphere
+    # gathers) set False to skip it (it costs ~15% on incoherent bundles)
+    coherent: bool = static_field(default=True)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -69,7 +73,7 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
     li = v.zeros((n,))
     thr = v.ones((n,))
 
-    hit = scene.ray_intersect_v(o, d, coherent=True)
+    hit = scene.ray_intersect_v(o, d, coherent=cfg.coherent)
     it = scene.interaction_v(o, d, hit)
 
     # directly visible emitters / environment (depth-1 contributions)

@@ -90,7 +90,8 @@ def _n_blocks(cfg: PSSMLTConfig) -> int:
 def _path_cfg(cfg: PSSMLTConfig) -> PathConfig:
     return PathConfig(max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                       depth_budget=cfg.max_depth,
-                      skip_direct=cfg.separate_direct)
+                      skip_direct=cfg.separate_direct,
+                      coherent=False)
 
 
 def _eval(scene: Scene, table: jax.Array, cfg: PSSMLTConfig, width, height):
