@@ -50,10 +50,10 @@ import jax.numpy as jnp
 
 from ..core.types import pytree_dataclass, static_field, Float, Int
 
-LEAF = 64   # triangles per cluster
+LEAF = 64   # triangles per cluster (gather-latency sweet spot)
 SUP = 64    # clusters per super
-ROW = LEAF * 9 + LEAF  # 640 = packed cluster row (tris + prim ids)
-CROW = SUP * 6         # 384 = packed child-AABB row
+ROW = LEAF * 9 + LEAF  # 1280 = packed cluster row (tris + prim ids)
+CROW = SUP * 6         # 768 = packed child-AABB row
 BIG = 3.0e37
 FAR = 1.0e30  # degenerate padding box (point at +FAR: every slab rejects it)
 
@@ -85,36 +85,78 @@ class Hierarchy:
     has_motion: bool = static_field(default=False)
 
 
-def _pack_leaves(flat, soup, tri_ids=None):
+def _leaf_groups(flat, cap=LEAF):
+    """Collapse maximal <=``cap``-triangle BVH subtrees into clusters.
+
+    SAH termination leaves average far below capacity (~31 tris measured on
+    the 1.1M-tri bench at max 64), so one-row-per-leaf packing wastes half
+    of every gathered row and every MT lane; naively merging DFS-*runs*
+    fills rows but unions boxes across subtree boundaries (measured +44%
+    cluster visits).  Instead walk the skip-threaded DFS and emit every
+    maximal subtree whose triangle count fits ``cap``: the cluster AABB is
+    then an actual BVH node box (tight by construction) and fill stays
+    high because the builder splits top-down by SAH.
+
+    Returns (ids (C, cap) triangle indices, vmask (C, cap) valid slots) in
+    DFS (spatially coherent) order.
+    """
+    node_count = np.asarray(flat["node_count"])
+    node_skip = np.asarray(flat["node_skip"])
+    order = np.asarray(flat["order"])
+    Nn = len(node_count)
+    # prims strictly before node i in DFS order (subtree prim ranges are
+    # contiguous in ``order`` because the builder partitions in place)
+    pref = np.zeros(Nn + 1, np.int64)
+    np.cumsum(node_count, out=pref[1:])
+
+    groups = []
+    i = 0
+    while 0 <= i < Nn:
+        s = node_skip[i] if node_skip[i] >= 0 else Nn
+        if pref[s] - pref[i] <= cap:
+            groups.append((pref[i], pref[s]))
+            i = s if node_skip[i] >= 0 else -1
+        else:
+            i += 1  # descend into the near child
+    C = len(groups)
+    ids = np.zeros((C, cap), np.int64)
+    vmask = np.zeros((C, cap), bool)
+    for g, (b, e) in enumerate(groups):
+        c = e - b
+        ids[g, :c] = order[b:e]
+        vmask[g, :c] = True
+    return ids, vmask
+
+
+def _pack_leaves(flat, soup, tri_ids=None, groups=None):
     """Extract (C, LEAF-padded) cluster blocks from a host BVH dict's leaves.
 
-    Returns (cl_lo, cl_hi, rows) with C = number of leaves, in DFS
-    (spatially coherent) order; ``rows`` is the packed (C, ROW) matrix.
+    Returns (cl_lo, cl_hi, rows) with C = number of merged-leaf clusters in
+    DFS (spatially coherent) order; ``rows`` is the packed (C, ROW) matrix.
     Padded triangle slots are all-zero (degenerate: det == 0 never hits).
+    ``groups``: optional precomputed ``_leaf_groups`` output (shared by the
+    deformable two-keyframe build so both frames pack identically).
     """
-    node_count = flat["node_count"]
-    node_start = flat["node_start"]
-    node_lo = flat["node_lo"]
-    node_hi = flat["node_hi"]
-    order = flat["order"]
-
-    leaves = np.nonzero(node_count > 0)[0]
-    C = len(leaves)
-    counts = node_count[leaves]
-    starts = node_start[leaves]
-    k = np.arange(LEAF)[None, :]
-    vmask = k < counts[:, None]
-    idx = np.minimum(starts[:, None] + k, len(order) - 1)
-    ids = np.where(vmask, order[idx], 0)
+    ids, vmask = groups if groups is not None else _leaf_groups(flat)
+    C = ids.shape[0]
     tris = np.where(vmask[:, :, None], soup[ids], 0.0).astype(np.float32)
     prim = np.where(vmask, ids if tri_ids is None else tri_ids[ids], 0)
-    # component-blocked row: [p0x*64 p0y p0z e1x e1y e1z e2x e2y e2z prim*64]
+    # cluster AABBs from the packed triangles (p0 | e1 | e2 columns)
+    p0 = tris[..., 0:3]
+    c1 = p0 + tris[..., 3:6]
+    c2 = p0 + tris[..., 6:9]
+    lo3 = np.minimum(np.minimum(p0, c1), c2)
+    hi3 = np.maximum(np.maximum(p0, c1), c2)
+    big = np.where(vmask[:, :, None], lo3, np.inf)
+    cl_lo = big.min(axis=1)
+    cl_hi = np.where(vmask[:, :, None], hi3, -np.inf).max(axis=1)
+    # component-blocked row: [p0x*L p0y p0z e1x e1y e1z e2x e2y e2z prim*L]
     # so the device slices nine contiguous (M, LEAF) planes after the gather
-    # (interleaved layouts force strided slices / unfusable (M,64,3) math)
+    # (interleaved layouts force strided slices / unfusable (M,L,3) math)
     rows = np.empty((C, ROW), np.float32)
     rows[:, : LEAF * 9] = tris.transpose(0, 2, 1).reshape(C, LEAF * 9)
     rows[:, LEAF * 9 :] = prim.astype(np.int32).view(np.float32)
-    return node_lo[leaves], node_hi[leaves], rows
+    return cl_lo.astype(np.float32), cl_hi.astype(np.float32), rows
 
 
 def _pack_supers(cl_lo, cl_hi, rows, rows_extra=()):
@@ -125,17 +167,11 @@ def _pack_supers(cl_lo, cl_hi, rows, rows_extra=()):
     from . import bvh as bvh_mod
 
     C = cl_lo.shape[0]
-    flat2 = bvh_mod.build_bvh_arrays(cl_lo, cl_hi, leaf_size=SUP)
-    n2_count = flat2["node_count"]
-    sup = np.nonzero(n2_count > 0)[0]
-    S = len(sup)
-    counts = n2_count[sup]
-    starts = flat2["node_start"][sup]
-    order2 = flat2["order"]
-    k = np.arange(SUP)[None, :]
-    cmask = k < counts[:, None]
-    cidx = np.minimum(starts[:, None] + k, len(order2) - 1)
-    cids = np.where(cmask, order2[cidx], 0)  # (S, SUP) cluster ids
+    flat2 = bvh_mod.build_bvh_arrays(cl_lo, cl_hi, leaf_size=64)
+    # merge DFS-consecutive second-level leaves into ~full SUP-wide supers
+    # (same fill argument as _leaf_groups at the triangle level)
+    cids, cmask = _leaf_groups(flat2, cap=SUP)
+    S = cids.shape[0]
 
     # child AABB rows, component-blocked [lox*SUP loy loz hix hiy hiz];
     # pads get the far point box
@@ -155,8 +191,9 @@ def _pack_supers(cl_lo, cl_hi, rows, rows_extra=()):
 
     blocks = reorder(rows)
     extra = tuple(reorder(r) for r in rows_extra)
-    sup_lo = flat2["node_lo"][sup]
-    sup_hi = flat2["node_hi"][sup]
+    # super AABBs = union over their (merged) member clusters
+    sup_lo = np.where(cmask[..., None], cl_lo[cids], np.inf).min(axis=1)
+    sup_hi = np.where(cmask[..., None], cl_hi[cids], -np.inf).max(axis=1)
     if rows_extra:
         return sup_lo, sup_hi, ch.reshape(S, CROW), blocks, extra
     return sup_lo, sup_hi, ch.reshape(S, CROW), blocks
@@ -173,8 +210,12 @@ def _pad_sweep(sup_lo, sup_hi):
 
 
 def build_hierarchy(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-                    leaf_size: int = LEAF) -> Hierarchy:
-    """Two SAH passes: triangles -> clusters, cluster AABBs -> supers."""
+                    leaf_size: int = 64) -> Hierarchy:
+    """Two SAH passes: triangles -> clusters, cluster AABBs -> supers.
+
+    ``leaf_size`` bounds the SAH leaves; DFS-consecutive leaves are then
+    merged into LEAF(=128)-wide packed rows (~97% fill, see _leaf_groups).
+    """
     from . import bvh as bvh_mod
 
     p0 = np.asarray(p0, np.float32)
@@ -228,25 +269,12 @@ def build_hierarchy_motion(p0, e1, e2, q0, f1, f2) -> Hierarchy:
     lo_b, hi_b = bvh_mod.tri_bounds(q0, f1, f2)
     lo = np.minimum(lo_a, lo_b)
     hi = np.maximum(hi_a, hi_b)
-    flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=LEAF)
-    # union cluster bounds come from the union primitive boxes: re-derive
-    # leaf AABBs per frame and take the min/max
-    cl_lo_a, cl_hi_a, rows_a = _pack_leaves(flat, soup_a)
-    # frame-B leaves share `flat` (same order); recompute via a union pass
-    node_count = flat["node_count"]; node_start = flat["node_start"]
-    order = flat["order"]
-    leaves = np.nonzero(node_count > 0)[0]
-    k = np.arange(LEAF)[None, :]
-    vmask = k < node_count[leaves][:, None]
-    idx = np.minimum(node_start[leaves][:, None] + k, len(order) - 1)
-    ids = np.where(vmask, order[idx], 0)
-    cl_lo_b = np.where(vmask[..., None], lo_b[ids], np.inf).min(1)
-    cl_hi_b = np.where(vmask[..., None], hi_b[ids], -np.inf).max(1)
-    rows_b = np.empty_like(rows_a)
-    tris_b = np.where(vmask[:, :, None], soup_b[ids], 0.0).astype(np.float32)
-    rows_b[:, : LEAF * 9] = tris_b.transpose(0, 2, 1).reshape(
-        len(leaves), LEAF * 9)
-    rows_b[:, LEAF * 9:] = rows_a[:, LEAF * 9:]
+    flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=64)
+    # union cluster bounds come from the union primitive boxes: pack both
+    # frames with the SAME merged-leaf grouping and union the cluster AABBs
+    groups = _leaf_groups(flat)
+    cl_lo_a, cl_hi_a, rows_a = _pack_leaves(flat, soup_a, groups=groups)
+    cl_lo_b, cl_hi_b, rows_b = _pack_leaves(flat, soup_b, groups=groups)
     cl_lo = np.minimum(cl_lo_a, cl_lo_b)
     cl_hi = np.maximum(cl_hi_a, cl_hi_b)
 
@@ -287,7 +315,7 @@ def build_hierarchy_instanced(blas_list, instances) -> Hierarchy:
         e2 = np.asarray(e2, np.float32)
         soup = np.concatenate([p0, e1, e2], axis=1)
         lo, hi = bvh_mod.tri_bounds(p0, e1, e2)
-        flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=LEAF)
+        flat = bvh_mod.build_bvh_arrays(lo, hi, leaf_size=64)
         cl_lo, cl_hi, rows = _pack_leaves(
             flat, soup, None if tri_ids is None
             else np.asarray(tri_ids, np.int64))
@@ -687,7 +715,7 @@ def _run_front(h, front, any_hit, k_inner, centry=None):
 
 def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
                         active=None, front=FRONT, k_inner=K_INNER,
-                        prologue=PROLOGUE):
+                        prologue=PROLOGUE, use_kernel=None):
     """Closest-hit (or any-hit) march over the two-level hierarchy.
 
     o, d: (N, 3) world-space rays.  Returns dict(t, u, v, prim, inst, found)
@@ -728,6 +756,19 @@ def intersect_hierarchy(h: Hierarchy, o, d, tmin, tmax, any_hit=False,
     22-column pending queue) is rebuilt on their first driver step while
     their cluster-order gate resumes exactly where the prologue stopped.
     """
+    from .intersect import _use_pallas
+
+    if use_kernel is None:
+        use_kernel = False  # XLA driver measured faster; see PERF_NOTES r5
+    if use_kernel:
+        # fused Pallas step kernel (bitwise-equal traversal, see
+        # hier_kernel.py); the XLA driver below remains the CPU/parity
+        # reference and the deformable-motion path
+        from .hier_kernel import intersect_hier_kernel
+
+        return intersect_hier_kernel(h, o, d, tmin, tmax, any_hit=any_hit,
+                                     active=active)
+
     N = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, Float), (N,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, Float), (N,))
