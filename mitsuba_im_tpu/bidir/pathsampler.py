@@ -31,17 +31,20 @@ from ..scene.scene import Scene
 U32 = jnp.uint32
 
 
-def n_blocks_bidir(max_depth: int) -> int:
+def n_blocks_bidir(max_depth: int, has_media: bool = False) -> int:
     """Blocks of 4 dims consumed per sampleSplats evaluation.
 
     1 camera + max_depth eye-walk + 2 light-origin + (max_depth-1)
     light-walk + (max_depth-1) s=1 NEE blocks (matches the draw order in
     bdpt_sample: eye walk, light origin, light walk, then one block per
-    eye vertex for next-event estimation).  All of these must be
+    eye vertex for next-event estimation).  Scenes with media draw one
+    extra free-flight/phase block per walk step.  All of these must be
     table-backed so MCMC mutations reach every strategy's randoms —
     otherwise the NEE draws fall off the table and freeze for the whole
     chain (biased stationary distribution)."""
-    return 1 + max_depth + 2 + 2 * max(max_depth - 1, 0)
+    per_step = 2 if has_media else 1
+    return (1 + per_step * max_depth + 2
+            + per_step * max(max_depth - 1, 0) + max(max_depth - 1, 0))
 
 
 def n_light_splats(max_depth: int) -> int:
@@ -54,7 +57,7 @@ def sample_splats(scene: Scene, table: jax.Array, max_depth: int,
                   width: int, height: int):
     """Evaluate all BDPT strategies for a batch of primary-sample tables.
 
-    table: (N, B, 4) with B >= n_blocks_bidir(max_depth).
+    table: (N, B, 4) with B >= n_blocks_bidir(max_depth, scene.media.any).
 
     Returns (pos (N, 2) eye-pixel coords, li (N, 3) same-pixel radiance,
     splat_pos (K, N, 2) film coords of light-tracing splats,

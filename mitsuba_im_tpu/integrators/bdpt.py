@@ -42,14 +42,25 @@ the parallel-beam area density (disk pdf x |cos|).  Environment escapes are
 weighted as s=0 strategies with a pseudo-vertex at infinity against both
 NEE-env and the light-connection strategies.
 
-Participating media (round 4, ``include/mitsuba/bidir/edge.h:32-76``
-``PathEdge`` analog): subpath walks and every connection strategy carry
-Beer-Lambert edge transmittance with per-lane medium ids tracked across
-boundary crossings (:func:`_seg_tr`); absorption-only volumetric scenes
-agree with volpath (tests/test_bdpt.py::TestMediaAwareBDPT).  Remaining
-documented deviation: no *medium vertices* on subpaths — in-scattered
-light is carried unidirectionally by volpath only — and heterogeneous
-grids fall back to their homogeneous sigma_t on bidir edges.
+Participating media (rounds 4-5, ``include/mitsuba/bidir/vertex.h:48``
+``EMediumInteraction`` + ``edge.h:32-76`` ``PathEdge`` analog): subpath
+walks place **medium vertices** — lanes whose per-lane medium scatters
+(sigma_s > 0) sample a channel-averaged free-flight distance each step;
+when it beats the surface hit the slot becomes a volume interaction that
+continues by phase-function sampling, with volume-measure forward and
+reverse densities (distance pdf x 1/d^2) carried through the same MIS
+bookkeeping as surfaces (:func:`_conv_density`).  Every connection
+strategy evaluates ``sigma_s x phase`` at medium vertices vs the BSDF at
+surface vertices (:func:`_vertex_f`), edges carry full-sigma_t
+transmittance with per-lane medium ids tracked across boundary
+crossings, and heterogeneous grid media are ratio-tracked on connection
+edges with a dedicated counter-RNG stream (:func:`_seg_tr`).
+Scattering-media scenes agree with volpath
+(tests/test_bdpt.py::TestMediaAwareBDPT).  Remaining documented
+approximation: a connection edge uses the medium of its eye-side
+endpoint for the whole segment (no mid-edge boundary crossings), and
+heterogeneous media get ratio-tracked edges but no heterogeneous medium
+*vertices* (their tracking has no closed-form pdf for MIS).
 """
 from __future__ import annotations
 
@@ -59,7 +70,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.types import Float, Int, EPSILON, SHADOW_EPSILON
+from ..core.types import Float, Int, INVALID, EPSILON, SHADOW_EPSILON
 from ..core import math as m
 from ..core import rng as mrng
 from ..core import warp
@@ -72,6 +83,7 @@ from ..film.film import Film, splat as film_splat
 from .path import _fake_it
 
 U32 = jnp.uint32
+BIG_T = 1.0e30  # "no event" distance sentinel
 
 
 def _remap0(x):
@@ -88,6 +100,78 @@ def _to_area(pdf_sa, from_p, to_p, to_n):
     d2 = _dist2(from_p, to_p)
     d = (to_p - from_p) * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))[..., None]
     return pdf_sa * jnp.abs(m.dot(to_n, d)) / jnp.maximum(d2, 1e-20)
+
+
+def _seg_sigma(scene, mid):
+    """Per-lane (sigma_s mean, sigma_t channel-mean) of a segment medium;
+    the distance-sampling density sigma-bar is the channel-mean sigma_t of
+    *scattering* media only (pure absorbers keep analytic transmittance
+    and no distance-sampling densities)."""
+    from ..media import medium as med
+
+    ss, st, _pt, _g = med.medium_params(scene.media, mid)
+    ss_mean = jnp.mean(ss, axis=-1)
+    st_bar = jnp.mean(st, axis=-1)
+    return jnp.where(ss_mean > 0, st_bar, 0.0)
+
+
+def _conv_density(scene, pdf_sa, from_p, to_p, to_n, to_is_med, seg_mid,
+                  has_media):
+    """Solid-angle density -> area/volume density at ``to_p``, including
+    the free-flight factors of the segment medium (PBRT's ConvertDensity
+    extended with distance sampling): surface targets pick up the
+    survive-to-surface probability e^{-sigma-bar d}, medium targets the
+    distance pdf sigma-bar e^{-sigma-bar d} and NO cosine."""
+    d2 = _dist2(from_p, to_p)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    dvec = (to_p - from_p) / dist[..., None]
+    cosf = jnp.abs(m.dot(to_n, dvec))
+    if not has_media:
+        return pdf_sa * cosf / jnp.maximum(d2, 1e-20)
+    sbar = _seg_sigma(scene, seg_mid)
+    atten = jnp.exp(-sbar * dist)
+    fac = jnp.where(to_is_med, sbar * atten, atten)
+    cosf = jnp.where(to_is_med, 1.0, cosf)
+    return pdf_sa * cosf * fac / jnp.maximum(d2, 1e-20)
+
+
+def _vertex_f(scene, v, wo_world, has_media, adjoint=False):
+    """Scattering throughput at a path vertex toward ``wo_world``:
+    BSDF (cosine included, local frame) at surfaces; the phase function at
+    medium vertices (``vertex.h:48`` EMediumInteraction analog — sigma_s
+    is already folded into ``beta`` at medium-vertex arrival, so the
+    vertex's f is the phase alone, PBRT convention)."""
+    wo_local = _local(v, wo_world)
+    f = bsdf_eval(v["bp"], v["wi_local"], wo_local)
+    if adjoint:
+        wi_w = _from_local(v, v["wi_local"])
+        f = f * _adjoint_correction(v["ns"], v["ng"], wi_w, wo_world)[..., None]
+    if not has_media:
+        return f
+    from ..media import medium as med
+
+    _ss, _st, pt, g = med.medium_params(scene.media, v["mid"])
+    ph = med.phase_eval(pt, g, v["wi_world"], wo_world)
+    return jnp.where(v["is_med"][..., None], ph[..., None], f)
+
+
+def _vertex_pdf(scene, v, wo_world, has_media, reverse=False):
+    """Solid-angle density of sampling ``wo_world`` at vertex ``v`` (or,
+    with ``reverse``, of sampling the arrival direction given wo)."""
+    wo_local = _local(v, wo_world)
+    if reverse:
+        pdf = bsdf_pdf(v["bp"], wo_local, v["wi_local"])
+    else:
+        pdf = bsdf_pdf(v["bp"], v["wi_local"], wo_local)
+    if not has_media:
+        return pdf
+    from ..media import medium as med
+
+    _ss, _st, pt, g = med.medium_params(scene.media, v["mid"])
+    # iso/HG/Rayleigh are sampled proportional to value and reciprocal,
+    # so the phase pdf equals its value in either direction
+    ph = med.phase_eval(pt, g, v["wi_world"], wo_world)
+    return jnp.where(v["is_med"], ph, pdf)
 
 
 def _from_local(v, w_local):
@@ -123,21 +207,27 @@ def _adjoint_correction(ns, ng, wi_world, wo_world):
 def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
                 start_p, start_n, adjoint=False, infinite0=None,
                 medium0=None):
-    """Extend a subpath by up to ``n_steps`` surface vertices.
+    """Extend a subpath by up to ``n_steps`` surface OR medium vertices.
 
     Returns (vertex list, sampler, escape record).  Each vertex dict holds
     geometry, the resolved BSDF LaneParams, throughput ``beta`` (up to and
-    including arrival), area-measure ``pdf_fwd``, reverse density
-    ``pdf_rev`` (area at THIS vertex as if sampled backward), and flags.
+    including arrival), area/volume-measure ``pdf_fwd``, reverse density
+    ``pdf_rev`` (at THIS vertex as if sampled backward), and flags.
     The walk also fills ``prev_pdf_rev`` slots one step behind, and reports
     escaped lanes (for environment handling) with their direction + pdf.
 
-    ``medium0``: optional (N,) per-lane starting medium ids — each walk
-    edge then multiplies Beer-Lambert transmittance into ``beta`` (the
-    sampling densities are untouched: absorption is pure throughput, see
-    :func:`_seg_tr`), medium ids are tracked across boundary crossings,
-    and each vertex records its arrival-side medium in ``mid``.
+    ``medium0``: optional (N,) per-lane starting medium ids.  Lanes inside
+    a *scattering* medium sample a channel-averaged free-flight distance
+    each step (one extra RNG block per step when the scene has media);
+    when it beats the surface hit the slot becomes a medium vertex
+    (``is_med``) that continues by phase sampling, with the distance pdf
+    folded into forward/reverse densities (:func:`_conv_density`).  Pure
+    absorbers keep analytic Beer-Lambert throughput with no density
+    factors; medium ids track across boundary crossings and each vertex
+    records its arrival-side medium in ``mid``.
     """
+    from ..media import medium as med
+
     verts = []
     s = sampler
     prev_p, prev_n = start_p, start_n
@@ -148,28 +238,58 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
     alive = jnp.ones(pdf_dir0.shape, bool)
     escape = None
     mid = medium0
+    n0 = start_p.shape[0]
+    zf = jnp.zeros((n0,), Float)
+    prev_is_med = jnp.zeros((n0,), bool)
 
     for i in range(n_steps):
         hit = scene.ray_intersect(prev_p, cur_d)
         it = scene.interaction(prev_p, cur_d, hit)
-        valid = alive & it.valid
-        if mid is not None:
-            tr = _seg_tr(scene, mid, hit.t)
-            beta = beta * jnp.where(valid[..., None], tr, 1.0)
-            # escaped lanes in an absorbing ambient medium attenuate away
-            from ..media import medium as med
+        surf_ok = alive & it.valid
 
-            _ss0, st0, _p0, _g0 = med.medium_params(scene.media, mid)
-            esc_kill = (alive & ~it.valid)[..., None] & (st0 > 0)
+        if mid is not None:
+            # free-flight sampling in scattering media: channel-mean
+            # sigma_t density; pure absorbers keep analytic Beer-Lambert
+            s, mblk = mrng.next_block4(s)
+            ss_m, st_m, pt_m, g_m = med.medium_params(scene.media, mid)
+            sbar = _seg_sigma(scene, mid)
+            t_m = jnp.where(
+                sbar > 0,
+                -jnp.log(jnp.maximum(1.0 - mblk[..., 0], 1e-20))
+                / jnp.maximum(sbar, 1e-20), BIG_T)
+            t_surf = jnp.where(it.valid, hit.t, BIG_T)
+            in_scat = alive & (sbar > 0) & (t_m < t_surf)
+            # arrival weights: Tr(t)/pdf — medium: x sigma_s; surface /
+            # escape: / survive probability (exact for gray sigma_t)
+            t_arr = jnp.where(in_scat, t_m, jnp.minimum(t_surf, hit.t))
+            t_fin = jnp.where(in_scat, t_m, t_surf)
+            tr_full = med.transmittance(st_m, jnp.minimum(t_fin, 1e30))
+            pdf_t = jnp.maximum(sbar, 1e-20) * jnp.exp(-sbar * t_m)
+            p_surf = jnp.exp(-sbar * jnp.minimum(t_surf, 1e30))
+            w_med = tr_full * (ss_m / pdf_t[..., None])
+            w_srf = tr_full / jnp.maximum(p_surf, 1e-20)[..., None]
+            w_arr = jnp.where(in_scat[..., None], w_med, w_srf)
+            # escaped lanes through infinite medium: transmittance -> 0
+            esc_kill = (alive & ~it.valid & ~in_scat)[..., None] & (
+                jnp.mean(st_m, -1, keepdims=True) > 0)
+            beta = beta * jnp.where((surf_ok | in_scat)[..., None],
+                                    w_arr, 1.0)
             beta = jnp.where(esc_kill, 0.0, beta)
+            valid = (surf_ok & ~in_scat) | in_scat
+            is_med = in_scat
+        else:
+            valid = surf_ok
+            is_med = jnp.zeros((n0,), bool)
+            in_scat = is_med
+
         if i == 0:
             # record escaped primary/secondary rays once (env contribution)
-            esc0 = alive & ~it.valid
+            esc0 = alive & ~it.valid & ~in_scat
             escape = dict(d=cur_d, beta=beta, pdf_dir=pdf_dir,
                           escaped=esc0, delta=pdf_delta,
                           i=jnp.where(esc0, 0, -1))
         else:
-            esc_now = alive & ~it.valid
+            esc_now = alive & ~it.valid & ~in_scat
             escape = dict(
                 d=jnp.where(esc_now[..., None], cur_d, escape["d"]),
                 beta=jnp.where(esc_now[..., None], beta, escape["beta"]),
@@ -179,66 +299,96 @@ def random_walk(scene: Scene, sampler, o, d, beta0, pdf_dir0, n_steps,
                 i=jnp.where(esc_now, i, escape["i"]),
             )
 
+        # vertex position/frame: surface interaction or medium point
+        if mid is not None:
+            p_v = jnp.where(is_med[..., None],
+                            prev_p + cur_d * t_arr[..., None], it.p)
+            fr_m = m.Frame.from_normal(-cur_d)
+            ns_v = jnp.where(is_med[..., None], -cur_d, it.ns)
+            ng_v = jnp.where(is_med[..., None], -cur_d, it.ng)
+            ss_v = jnp.where(is_med[..., None], fr_m[0], it.ss)
+            ts_v = jnp.where(is_med[..., None], fr_m[1], it.ts_)
+        else:
+            p_v, ns_v, ng_v, ss_v, ts_v = it.p, it.ns, it.ng, it.ss, it.ts_
+
         bparams = scene.bsdf_at(it)
         pdf_fwd = jnp.where(
             pdf_delta, 0.0,
-            _to_area(pdf_dir, prev_p, it.p, it.ns))
+            _conv_density(scene, pdf_dir, prev_p, p_v, ns_v, is_med, mid,
+                          mid is not None))
         if i == 0 and infinite0 is not None:
             # infinite-light origin (env/directional/constant): the first
             # segment is a parallel beam from the bounding disk — density
             # per area is pdf_pos * |cos|, no 1/d^2 (vertex.h:272 analog of
             # PBRT's infinite-light convention)
-            pdf_inf = pdf_dir * jnp.abs(m.dot(it.ns, cur_d))
+            pdf_inf = pdf_dir * jnp.abs(m.dot(ns_v, cur_d))
             pdf_fwd = jnp.where(infinite0, pdf_inf, pdf_fwd)
         v = dict(
-            p=it.p, ns=it.ns, ng=it.ng, ss=it.ss, ts=it.ts_, uv=it.uv,
-            shape=it.shape, wi_local=it.wi_local, bp=bparams,
+            p=p_v, ns=ns_v, ng=ng_v, ss=ss_v, ts=ts_v, uv=it.uv,
+            shape=jnp.where(is_med, INVALID, it.shape),
+            wi_local=it.wi_local, bp=bparams,
             beta=beta, pdf_fwd=pdf_fwd, pdf_rev=jnp.zeros_like(pdf_fwd),
-            delta=lane_is_delta(bparams), valid=valid,
-            emitter=scene.emitter_at(it),
-            mid=mid,
+            delta=lane_is_delta(bparams) & ~is_med, valid=valid,
+            emitter=jnp.where(is_med, -1, scene.emitter_at(it)),
+            mid=mid, is_med=is_med, wi_world=-cur_d,
         )
 
         s, blk = mrng.next_block4(s)
         bs = bsdf_sample(bparams, it.wi_local, blk[..., 0], blk[..., 1:3],
                          blk[..., 3])
-        frame = (it.ss, it.ts_, it.ns)
-        wo_world = m.Frame.to_world(frame, bs.wo)
+        frame = (ss_v, ts_v, ns_v)
+        wo_surf = m.Frame.to_world((it.ss, it.ts_, it.ns), bs.wo)
+        if mid is not None:
+            wo_ph, pdf_ph = med.phase_sample(pt_m, g_m, -cur_d,
+                                             mblk[..., 1:3])
+            wo_world = jnp.where(is_med[..., None], wo_ph, wo_surf)
+            pdf_out = jnp.where(is_med, pdf_ph,
+                                jnp.where(bs.delta, 0.0, bs.pdf))
+            out_delta = bs.delta & ~is_med
+            w_step = jnp.where(is_med[..., None], 1.0, bs.weight)
+        else:
+            wo_world = wo_surf
+            pdf_out = jnp.where(bs.delta, 0.0, bs.pdf)
+            out_delta = bs.delta
+            w_step = bs.weight
 
         # reverse pdf of re-sampling the arrival direction given wo
-        pdf_rev_sa = bsdf_pdf(bparams, bs.wo, it.wi_local)
-        prev_rev = jnp.where(bs.delta, 0.0,
-                             _to_area(pdf_rev_sa, it.p, prev_p, prev_n))
+        pdf_rev_sa = _vertex_pdf(scene, v, wo_world, mid is not None,
+                                 reverse=True)
+        pdf_rev_sa = jnp.where(out_delta, 0.0, pdf_rev_sa)
+        prev_rev = _conv_density(scene, pdf_rev_sa, p_v, prev_p, prev_n,
+                                 prev_is_med, mid, mid is not None)
         if i == 0:
             start_rev = prev_rev  # reverse density at the subpath origin
             if infinite0 is not None:
                 # toward an infinite origin the reverse density stays in
                 # solid angle (directions are the measure at infinity)
-                start_rev = jnp.where(
-                    infinite0, jnp.where(bs.delta, 0.0, pdf_rev_sa),
-                    start_rev)
+                start_rev = jnp.where(infinite0, pdf_rev_sa, start_rev)
         else:
             verts[i - 1]["pdf_rev"] = jnp.where(
                 valid, prev_rev, verts[i - 1]["pdf_rev"])
 
-        beta = beta * bs.weight
+        beta = beta * w_step
         if adjoint:
             # importance transport: shading-normal asymmetry correction
+            # (surfaces only; media have no shading frames)
             corr = _adjoint_correction(it.ns, it.ng, -cur_d, wo_world)
+            corr = jnp.where(is_med, 1.0, corr)
             beta = beta * jnp.where(valid, corr, 1.0)[..., None]
-        pdf_dir = jnp.where(bs.delta, 0.0, bs.pdf)
-        pdf_delta = bs.delta
-        alive = valid & (jnp.sum(jnp.abs(bs.weight), -1) > 0)
+        pdf_dir = pdf_out
+        pdf_delta = out_delta
+        alive = valid & (jnp.sum(jnp.abs(w_step), -1) > 0)
         if mid is not None:
             mid = jnp.where(
-                valid, _medium_transition(scene, it.shape, wo_world,
-                                          it.ng, mid), mid)
-        prev_p, prev_n = it.p, it.ns
+                valid & ~is_med,
+                _medium_transition(scene, it.shape, wo_world, it.ng, mid),
+                mid)
+        prev_p, prev_n = p_v, ns_v
+        prev_is_med = is_med
         cur_d = wo_world
         verts.append(v)
 
     if n_steps == 0:
-        n0 = start_p.shape[0]
         escape = dict(d=d, beta=beta0, pdf_dir=pdf_dir0,
                       escaped=jnp.zeros((n0,), bool),
                       delta=jnp.zeros((n0,), bool),
@@ -394,10 +544,11 @@ def pdf_light_origin(scene: Scene, emitter_id, valid_emitter):
 
 
 def pdf_light_dir_area(scene: Scene, emitter_id, p_light, n_light, p_next,
-                       n_next, valid):
-    """Area density at ``p_next`` of the light emitting toward it
+                       n_next, valid, to_is_med=None, seg_mid=None):
+    """Area/volume density at ``p_next`` of the light emitting toward it
     (cosine-hemisphere emission for area lights, uniform sphere for
-    point/spot)."""
+    point/spot); medium-aware conversion when the target is a volume
+    vertex or the segment crosses a scattering medium."""
     emt = scene.emitters
     eid = jnp.clip(emitter_id, 0, emt.type.shape[0] - 1)
     etype = emt.type[eid]
@@ -408,7 +559,12 @@ def pdf_light_dir_area(scene: Scene, emitter_id, p_light, n_light, p_next,
     pdf_sa = jnp.where(etype == em.EM_AREA, pdf_sa_area,
                        jnp.where((etype == em.EM_POINT) | (etype == em.EM_SPOT),
                                  pdf_sa_point, 0.0))
-    return jnp.where(valid, _to_area(pdf_sa, p_light, p_next, n_next), 0.0)
+    if to_is_med is None:
+        return jnp.where(valid, _to_area(pdf_sa, p_light, p_next, n_next),
+                         0.0)
+    return jnp.where(valid, _conv_density(
+        scene, pdf_sa, p_light, p_next, n_next, to_is_med, seg_mid, True),
+        0.0)
 
 
 def camera_pdf_dir(scene: Scene, d_world):
@@ -481,24 +637,24 @@ def _medium_transition(scene, shape_id, d_world, ng, cur_mid):
     return jnp.where((shape_id != INVALID) & has, new, cur_mid)
 
 
-def _seg_tr(scene, mid, dist):
+def _seg_tr(scene, mid, o, d, dist, med_s):
     """Medium-aware edge transmittance (the ``PathEdge`` analog,
-    ``/root/reference/include/mitsuba/bidir/edge.h:32-76``): homogeneous
+    ``/root/reference/include/mitsuba/bidir/edge.h:32-76``): full
     Beer-Lambert along a segment of length ``dist`` in per-lane medium
-    ``mid`` (vacuum for INVALID).
-
-    Media-aware BDPT stage (round 4): subpath walks and every connection
-    strategy carry edge transmittance, with per-lane medium ids tracked
-    across boundary crossings — absorption-only volumetric scenes agree
-    with volpath (tests/test_bdpt.py).  Remaining documented deviation:
-    no *medium vertices* on subpaths (in-scattered light is carried
-    unidirectionally by volpath only), and heterogeneous grids fall back
-    to their homogeneous sigma_t here.
-    """
+    ``mid`` (vacuum for INVALID); heterogeneous grid lanes are
+    ratio-tracked (unbiased) with the dedicated ``med_s`` counter stream
+    so connection transmittance never consumes primary-sample-table
+    dimensions.  Returns (tr (N, 3), med_s)."""
     from ..media import medium as med
 
     _ss, st, _pt, _g = med.medium_params(scene.media, mid)
-    return med.transmittance(st, dist)
+    tr = med.transmittance(st, dist)
+    if scene.media.has_hetero:
+        rows = med.hetero_rows(scene.media, mid)
+        med_s, T = med.track_transmittance(
+            scene.media, rows, o, d, dist, med_s, rows["is_het"])
+        tr = jnp.where(rows["is_het"][..., None], T[..., None], tr)
+    return tr, med_s
 
 
 def _occluded_seg(scene, a, b):
@@ -524,6 +680,11 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     has_media = scene.media.any
     medium0 = (jnp.full((n,), scene.camera_medium, Int)
                if has_media else None)
+    # dedicated counter stream for ratio-tracked edge transmittance
+    # (variable-draw: must never consume primary-sample-table dims)
+    med_s = (mrng.make_sampler(s.pixel, s.sample,
+                               s.seed ^ U32(0xA5D1C0DE))
+             if has_media else None)
 
     # --- eye subpath -------------------------------------------------------
     cam_v = dict(p=o_cam, pdf_fwd=jnp.ones((n,), Float),
@@ -552,6 +713,8 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
     lv0 = dict(lv0)
     lv0["pdf_rev"] = l0_rev
     lv0["mid"] = medium0
+    lv0["is_med"] = jnp.zeros((n,), bool)
+    lv0["wi_world"] = lv0["d"]
     light_vs = [lv0] + light_tail
     # a light vertex is usable only if the whole prefix is valid
     pref = lv0["valid"]
@@ -583,7 +746,9 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             pm = eye_vs[ti - 1]
             overrides[("eye", ti)] = pdf_light_dir_area(
                 scene, v["emitter"], v["p"], v["ns"], pm["p"], pm["ns"],
-                has_em)
+                has_em,
+                to_is_med=pm["is_med"] if has_media else None,
+                seg_mid=v["mid"])
         # eye_vs shifted by 1: camera is index 0 in the MIS lists
         mis_eye = [cam_v] + eye_vs[: ti + 1]
         w = mis_weight(scene, [], mis_eye, 0, t_cnt, overrides)
@@ -628,7 +793,7 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             li = li + jnp.where(mask[..., None],
                                 esc["beta"] * env_val * w[..., None], 0.0)
 
-    # --- s=1: NEE from each eye vertex ------------------------------------
+    # --- s=1: NEE from each eye vertex (surface or medium) ----------------
     for ti in range(T):
         if (ti + 1) + 1 > max_depth:  # edges = camera chain (ti+1) + 1
             break
@@ -636,14 +801,15 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         s, blk = mrng.next_block4(s)
         ds = em.sample_direct(emt, scene.geom, v["p"], blk[..., 0],
                               blk[..., 1:3])
-        wo_local = _local(v, ds.d)
-        f = bsdf_eval(v["bp"], v["wi_local"], wo_local)
+        f = _vertex_f(scene, v, ds.d, has_media)
         occ = scene.occluded(v["p"], ds.d, EPSILON,
                              ds.dist * (1.0 - SHADOW_EPSILON))
         ok = v["valid"] & (ds.pdf > 0) & ~occ
         contrib = v["beta"] * ds.value * f / jnp.maximum(ds.pdf, 1e-20)[..., None]
         if has_media:
-            contrib = contrib * _seg_tr(scene, v["mid"], ds.dist)
+            tr_e, med_s = _seg_tr(scene, v["mid"], v["p"], ds.d, ds.dist,
+                                  med_s)
+            contrib = contrib * tr_e
 
         q_p = v["p"] + ds.d * ds.dist[..., None]
         cos_q = jnp.abs(m.dot(ds.n, -ds.d))
@@ -656,8 +822,12 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         # infinite emitters: keep the solid-angle measure at the pseudo
         # vertex (matches the light-origin convention)
         q_fwd = jnp.where(inf_q & ~ds.delta, ds.pdf, q_fwd)
-        bsdf_rev_sa = bsdf_pdf(v["bp"], v["wi_local"], wo_local)
-        q_rev = _to_area(bsdf_rev_sa, v["p"], q_p, ds.n)
+        bsdf_rev_sa = _vertex_pdf(scene, v, ds.d, has_media)
+        if has_media:
+            q_rev = _conv_density(scene, bsdf_rev_sa, v["p"], q_p, ds.n,
+                                  jnp.zeros((n,), bool), v["mid"], True)
+        else:
+            q_rev = _to_area(bsdf_rev_sa, v["p"], q_p, ds.n)
         q_rev = jnp.where(inf_q, bsdf_rev_sa, q_rev)
         q_v = dict(p=q_p, ns=ds.n, pdf_fwd=q_fwd, pdf_rev=q_rev,
                    delta=ds.delta, valid=ok, emitter=ds.emitter)
@@ -667,13 +837,20 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             ("eye", ti + 1): jnp.where(
                 inf_q, disk_pdf1 * jnp.abs(m.dot(v["ns"], ds.d)),
                 pdf_light_dir_area(
-                    scene, ds.emitter, q_p, ds.n, v["p"], v["ns"], ok)),
+                    scene, ds.emitter, q_p, ds.n, v["p"], v["ns"], ok,
+                    to_is_med=v["is_med"] if has_media else None,
+                    seg_mid=v["mid"])),
         }
         if ti >= 1:
             pm = eye_vs[ti - 1]
-            overrides[("eye", ti)] = _to_area(
-                bsdf_pdf(v["bp"], wo_local, v["wi_local"]), v["p"], pm["p"],
-                pm["ns"])
+            rev_sa = _vertex_pdf(scene, v, ds.d, has_media, reverse=True)
+            if has_media:
+                overrides[("eye", ti)] = _conv_density(
+                    scene, rev_sa, v["p"], pm["p"], pm["ns"], pm["is_med"],
+                    pm["mid"], True)
+            else:
+                overrides[("eye", ti)] = _to_area(
+                    rev_sa, v["p"], pm["p"], pm["ns"])
         mis_eye = [cam_v] + eye_vs[: ti + 1]
         w = mis_weight(scene, [q_v], mis_eye, 1, ti + 2, overrides)
         li = li + jnp.where(ok[..., None], contrib * w[..., None], 0.0)
@@ -685,27 +862,33 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         v = light_vs[si]
         uv, cam_p, dist, We, vis = sensor_connect(scene.sensor, v["p"])
         d_vc = _dir(v["p"], cam_p)
-        wo_local = _local(v, d_vc)
-        f = bsdf_eval(v["bp"], v["wi_local"], wo_local)
-        wi_w = _from_local(v, v["wi_local"])
-        f = f * _adjoint_correction(v["ns"], v["ng"], wi_w, d_vc)[..., None]
+        f = _vertex_f(scene, v, d_vc, has_media, adjoint=True)
         occ = scene.occluded(v["p"], d_vc, EPSILON,
                              dist * (1.0 - SHADOW_EPSILON))
         ok = v["valid"] & vis & ~occ
         val = v["beta"] * f * (We / jnp.maximum(dist * dist, 1e-20))[..., None]
         if has_media:
-            val = val * _seg_tr(scene, v["mid"], dist)
+            tr_e, med_s = _seg_tr(scene, v["mid"], v["p"], d_vc, dist,
+                                  med_s)
+            val = val * tr_e
 
-        rev_prev = _to_area(
-            bsdf_pdf(v["bp"], wo_local, v["wi_local"]), v["p"],
-            light_vs[si - 1]["p"], light_vs[si - 1]["ns"])
+        rev_sa = _vertex_pdf(scene, v, d_vc, has_media, reverse=True)
+        pv_l = light_vs[si - 1]
+        if has_media:
+            rev_prev = _conv_density(
+                scene, rev_sa, v["p"], pv_l["p"], pv_l["ns"],
+                pv_l["is_med"], v["mid"], True)
+            cam_conv = _conv_density(
+                scene, camera_pdf_dir(scene, -d_vc), cam_p, v["p"],
+                v["ns"], v["is_med"], v["mid"], True)
+        else:
+            rev_prev = _to_area(rev_sa, v["p"], pv_l["p"], pv_l["ns"])
+            cam_conv = _to_area(camera_pdf_dir(scene, -d_vc), cam_p,
+                                v["p"], v["ns"])
         if si - 1 == 0:
-            rev_prev = jnp.where(
-                lv0["infinite"],
-                bsdf_pdf(v["bp"], wo_local, v["wi_local"]), rev_prev)
+            rev_prev = jnp.where(lv0["infinite"], rev_sa, rev_prev)
         overrides = {
-            ("light", si): _to_area(camera_pdf_dir(scene, -d_vc), cam_p,
-                                    v["p"], v["ns"]),
+            ("light", si): cam_conv,
             ("light", si - 1): rev_prev,
         }
         w = mis_weight(scene, light_vs[: si + 1], [cam_v], si + 1, 1,
@@ -713,7 +896,13 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
         splat_uvs.append(uv)
         splat_vals.append(jnp.where(ok[..., None], val * w[..., None], 0.0))
 
-    # --- s>=2, t>=1 surface-to-surface connections -------------------------
+    # --- s>=2, t>=1 inner connections (surface or medium endpoints) -------
+    def _conv(pdf_sa, from_p, to_v, seg_mid):
+        if has_media:
+            return _conv_density(scene, pdf_sa, from_p, to_v["p"],
+                                 to_v["ns"], to_v["is_med"], seg_mid, True)
+        return _to_area(pdf_sa, from_p, to_v["p"], to_v["ns"])
+
     for si in range(1, S):
         for ti in range(T):
             if si + ti + 2 > max_depth:  # edges = (si+1) + (ti+2) - 1
@@ -722,40 +911,37 @@ def bdpt_sample(scene: Scene, sampler, o_cam, d_cam, max_depth: int,
             vp = eye_vs[ti]
             ok0 = vq["valid"] & vp["valid"]
             occ, d_pq, dist = _occluded_seg(scene, vp["p"], vq["p"])
-            wo_p = _local(vp, d_pq)
-            wo_q = _local(vq, -d_pq)
-            f_p = bsdf_eval(vp["bp"], vp["wi_local"], wo_p)
-            f_q = bsdf_eval(vq["bp"], vq["wi_local"], wo_q)
-            wi_q = _from_local(vq, vq["wi_local"])
-            f_q = f_q * _adjoint_correction(vq["ns"], vq["ng"], wi_q,
-                                            -d_pq)[..., None]
+            f_p = _vertex_f(scene, vp, d_pq, has_media)
+            f_q = _vertex_f(scene, vq, -d_pq, has_media, adjoint=True)
             ok = ok0 & ~occ
             contrib = vp["beta"] * vq["beta"] * f_p * f_q / \
                 jnp.maximum(dist * dist, 1e-20)[..., None]
             if has_media:
-                contrib = contrib * _seg_tr(scene, vp["mid"], dist)
+                tr_e, med_s = _seg_tr(scene, vp["mid"], vp["p"], d_pq,
+                                      dist, med_s)
+                contrib = contrib * tr_e
 
-            rev_prev_q = _to_area(
-                bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), vq["p"],
-                light_vs[si - 1]["p"], light_vs[si - 1]["ns"])
+            rev_q_sa = _vertex_pdf(scene, vq, -d_pq, has_media,
+                                   reverse=True)
+            rev_prev_q = _conv(rev_q_sa, vq["p"], light_vs[si - 1],
+                               vq["mid"] if has_media else None)
             if si - 1 == 0:
-                rev_prev_q = jnp.where(
-                    lv0["infinite"],
-                    bsdf_pdf(vq["bp"], wo_q, vq["wi_local"]), rev_prev_q)
+                rev_prev_q = jnp.where(lv0["infinite"], rev_q_sa,
+                                       rev_prev_q)
             overrides = {
-                ("eye", ti + 1): _to_area(
-                    bsdf_pdf(vq["bp"], vq["wi_local"], wo_q), vq["p"],
-                    vp["p"], vp["ns"]),
-                ("light", si): _to_area(
-                    bsdf_pdf(vp["bp"], vp["wi_local"], wo_p), vp["p"],
-                    vq["p"], vq["ns"]),
+                ("eye", ti + 1): _conv(
+                    _vertex_pdf(scene, vq, -d_pq, has_media), vq["p"], vp,
+                    vp["mid"] if has_media else None),
+                ("light", si): _conv(
+                    _vertex_pdf(scene, vp, d_pq, has_media), vp["p"], vq,
+                    vp["mid"] if has_media else None),
                 ("light", si - 1): rev_prev_q,
             }
             if ti >= 1:
                 pm = eye_vs[ti - 1]
-                overrides[("eye", ti)] = _to_area(
-                    bsdf_pdf(vp["bp"], wo_p, vp["wi_local"]), vp["p"],
-                    pm["p"], pm["ns"])
+                overrides[("eye", ti)] = _conv(
+                    _vertex_pdf(scene, vp, d_pq, has_media, reverse=True),
+                    vp["p"], pm, pm["mid"] if has_media else None)
             mis_eye = [cam_v] + eye_vs[: ti + 1]
             w = mis_weight(scene, light_vs[: si + 1], mis_eye, si + 1,
                            ti + 2, overrides)
@@ -812,14 +998,6 @@ def render_bdpt(scene: Scene, settings, spp: int | None = None,
                 progress_cb=None) -> np.ndarray:
     ip = settings.integrator_props
     W, H = settings.width, settings.height
-    if scene.media.has_hetero:
-        from ..core.registry import warn_substitution
-
-        warn_substitution(
-            "integrator", "bdpt over heterogeneous media",
-            "bdpt with homogeneous-sigma_t bidir edges",
-            "grid media fall back to homogeneous sigma_t on bidirectional "
-            "edge transmittance (_seg_tr)")
     spp = spp if spp is not None else settings.spp
     md = ip.get("max_depth", -1)
     max_depth = md if md > 0 else 6

@@ -102,6 +102,7 @@ def render_erpt(scene: Scene, settings, spp: int | None = None) -> np.ndarray:
         rr_depth=ip.get("rr_depth", 5),
         n_chains=W * H,
         bidirectional=ip.get("bidirectional", False),
+        media_blocks=bool(scene.media.any),
     )
     seed = jnp.uint32(settings.seed)
     img = jnp.zeros((H, W, 3), Float)

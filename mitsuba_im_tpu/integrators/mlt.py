@@ -103,6 +103,9 @@ class MLTConfig:
     # always runs over PathSampler; here it is a mode because the
     # unidirectional replay is ~2x cheaper per mutation on open scenes.
     bidirectional: bool = static_field(default=False)
+    # scene has participating media (threads the extra per-step walk
+    # block through the bidirectional table layout)
+    media_blocks: bool = static_field(default=False)
 
 
 def _pss_cfg(cfg: MLTConfig) -> PSSMLTConfig:
@@ -110,7 +113,8 @@ def _pss_cfg(cfg: MLTConfig) -> PSSMLTConfig:
                         p_large=cfg.p_large, n_chains=cfg.n_chains,
                         burn_in=cfg.burn_in, s1=cfg.s1, s2=cfg.s2,
                         separate_direct=cfg.separate_direct,
-                        bidirectional=cfg.bidirectional)
+                        bidirectional=cfg.bidirectional,
+                        media_blocks=cfg.media_blocks)
 
 
 def _lens_step(u_img, r, phi):
@@ -161,8 +165,9 @@ def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed):
         # -- caustic (bidir): pin the whole eye path, perturb the light
         # subpath — the light-side wiggle of a caustic path, the PSS
         # counterpart of mut_caustic.cpp's tail perturbation
-        b0_caustic = 1 + cfg.max_depth
-        blocks_per_bounce = 1
+        per_step = 2 if cfg.media_blocks else 1
+        b0_caustic = 1 + per_step * cfg.max_depth
+        blocks_per_bounce = per_step
     else:
         # -- caustic: perturb only the last bounce's three blocks ----------
         b0_caustic = 1 + 3 * (n_iters - 1)
@@ -259,6 +264,7 @@ def render_mlt(scene: Scene, settings, spp: int | None = None,
         separate_direct=(ip.get("separate_direct", True)
                          and not ip.get("bidirectional", False)),
         bidirectional=ip.get("bidirectional", False),
+        media_blocks=bool(scene.media.any),
         direct_samples=ip.get("direct_samples", 16),
     )
     W, H = settings.width, settings.height

@@ -73,6 +73,10 @@ class PSSMLTConfig:
     # indirect — are inside the chain's strategy space.  Matches the
     # reference pssmlt.cpp 'bidirectional' plugin parameter.
     bidirectional: bool = static_field(default=False)
+    # scene has participating media: bidirectional walks draw one extra
+    # free-flight/phase block per step (set from scene.media.any by the
+    # render_* entry points so the primary-sample table covers them)
+    media_blocks: bool = static_field(default=False)
 
 
 def _n_blocks(cfg: PSSMLTConfig) -> int:
@@ -82,7 +86,7 @@ def _n_blocks(cfg: PSSMLTConfig) -> int:
     if cfg.bidirectional:
         from ..bidir.pathsampler import n_blocks_bidir
 
-        return n_blocks_bidir(cfg.max_depth)
+        return n_blocks_bidir(cfg.max_depth, cfg.media_blocks)
     n_iters = max(cfg.max_depth - 1, 0)
     return 1 + 3 * n_iters
 
@@ -277,6 +281,7 @@ def render_pssmlt(scene: Scene, settings, spp: int | None = None,
         n_chains=ip.get("n_chains", 8192),
         burn_in=ip.get("burn_in", 32),
         bidirectional=ip.get("bidirectional", False),
+        media_blocks=bool(scene.media.any),
     )
     W, H = settings.width, settings.height
     spp = spp if spp is not None else settings.spp

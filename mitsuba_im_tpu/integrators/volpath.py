@@ -209,8 +209,13 @@ def volpath_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
         f_surf = bsdf_eval_v(bparams, it.wi_local, wo_nee_local)
         pdf_surf_nee = bsdf_pdf_v(bparams, it.wi_local, wo_nee_local)
         pctx = med.phase_ctx_v(scene.media, st["medium"], p_vert)
-        ph_nee = med.phase_eval_ctx_v(scene.media, pctx, d_c, ds.d)
-        ph_nee_pdf = med.phase_pdf_ctx_v(scene.media, pctx, d_c, ds.d)
+        # phase API convention: wi points TOWARD the previous vertex (like
+        # BSDFs), i.e. -d_c here; passing the propagation direction flips
+        # anisotropic lobes to g -> -g (caught by the bdpt medium-vertex
+        # ground-truth comparison: volpath measured 16% dim at g=0.3)
+        wi_ph = v.V3(-d_c.x, -d_c.y, -d_c.z)
+        ph_nee = med.phase_eval_ctx_v(scene.media, pctx, wi_ph, ds.d)
+        ph_nee_pdf = med.phase_pdf_ctx_v(scene.media, pctx, wi_ph, ds.d)
         f_phase = V3(ph_nee, ph_nee, ph_nee)
         f_nee = v.where(med_scatter, f_phase, f_surf)
         pdf_fwd_nee = jnp.where(med_scatter, ph_nee_pdf, pdf_surf_nee)
@@ -231,7 +236,7 @@ def volpath_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
                            sc_blk[1], sc_blk[2], sc_blk[3])
         wo_surf = v.to_world(frame, bs.wo)
         wo_phase, pdf_phase, w_phase = med.phase_sample_ctx_v(
-            scene.media, pctx, d_c, sc_blk[1], sc_blk[2], sc_blk[3])
+            scene.media, pctx, wi_ph, sc_blk[1], sc_blk[2], sc_blk[3])
         wo = v.where(med_scatter, wo_phase, wo_surf)
         # phase importance weight: 1 for value-proportional families,
         # eval/pdf for the structured phases (kkay/microflake)

@@ -141,14 +141,15 @@ def _load(xml):
 
 
 class TestMediaAwareBDPT:
-    """Medium-aware bidirectional transport, stage 1 (edge.h:32-76 analog):
-    subpath walks and all connection strategies carry Beer-Lambert edge
-    transmittance with per-lane medium tracking.  Absorption-only
-    volumetric scenes must agree between bdpt and volpath (the VERDICT
-    acceptance test); in-scattering (medium vertices) remains a
-    documented deviation carried by volpath unidirectionally."""
+    """Medium-aware bidirectional transport (vertex.h:48 + edge.h:32-76
+    analog): subpath walks place medium vertices in scattering media via
+    free-flight sampling and all connection strategies carry full edge
+    transmittance with per-lane medium tracking.  Both absorption-only
+    and scattering (sigma_s > 0, HG phase) volumetric scenes must agree
+    between bdpt and volpath (the round-4/round-5 VERDICT acceptance
+    tests)."""
 
-    def _global_medium_scene(self, sigma_a=0.35):
+    def _global_medium_scene(self, sigma_a=0.35, sigma_s=0.0, g=0.0):
         import numpy as np
         from mitsuba_im_tpu.scene.build import SceneBuilder
         from mitsuba_im_tpu.scene.mesh import TriMesh
@@ -156,11 +157,14 @@ class TestMediaAwareBDPT:
         from mitsuba_im_tpu.emitter import table as et
         from mitsuba_im_tpu.media.medium import PH_ISOTROPIC
 
+        from mitsuba_im_tpu.media.medium import PH_HG
+
         b = SceneBuilder()
         b.media_records.append(dict(
-            kind="homogeneous", sigma_s=np.zeros(3),
+            kind="homogeneous", sigma_s=np.full(3, sigma_s),
             sigma_a=np.full(3, sigma_a), scale=1.0,
-            phase=dict(type=PH_ISOTROPIC, g=0.0)))
+            phase=(dict(type=PH_HG, g=g) if abs(g) > 0
+                   else dict(type=PH_ISOTROPIC, g=0.0))))
         b.camera_medium = 0
 
         # diffuse floor, light above (the layout of the irawan scene,
@@ -220,3 +224,29 @@ class TestMediaAwareBDPT:
         clear = render(s0, set0, spp=64)
         hazy = render(s1, set1, spp=64)
         assert hazy.mean() < 0.45 * clear.mean()
+
+    def test_scattering_medium_bdpt_matches_volpath(self):
+        """Round-5 acceptance: with sigma_s > 0 and an HG phase, bdpt's
+        medium vertices (free-flight-sampled volume interactions with
+        phase-function connections and volume-measure MIS densities,
+        vertex.h:48 analog) carry the in-scattered light — the image must
+        agree with volpath's unidirectional estimate."""
+        from mitsuba_im_tpu.render.job import render
+
+        scene, settings = self._global_medium_scene(
+            sigma_a=0.08, sigma_s=0.35, g=0.3)
+        settings.integrator = "volpath"
+        settings.integrator_props = {"max_depth": 4}
+        ref = render(scene, settings, spp=384)
+        settings.integrator = "bdpt"
+        img = render(scene, settings, spp=128)
+        assert ref.mean() > 1e-4
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.10, (img.mean(), ref.mean())
+        # in-scattering is a real part of the signal: an absorption-only
+        # render of the same geometry must be visibly dimmer
+        s2, set2 = self._global_medium_scene(sigma_a=0.43, sigma_s=0.0)
+        set2.integrator = "bdpt"
+        set2.integrator_props = {"max_depth": 4}
+        dark = render(s2, set2, spp=96)
+        assert img.mean() > 1.1 * dark.mean()

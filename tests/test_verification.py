@@ -93,3 +93,36 @@ def test_mcmc_replay_bitwise(cornell):
                                np.asarray(I)[:, None]], axis=1)
 
     assert verify_replay(scene, run)
+
+
+@pytest.mark.quick
+@pytest.mark.slow
+def test_medium_walk_invariants():
+    """verification.cpp analog over MEDIUM vertices: cached volume-measure
+    densities (distance pdf, no cosine) and free-flight throughput weights
+    re-derive from the stored vertices in a scattering HG medium."""
+    from mitsuba_im_tpu.core import rng as mrng
+    from mitsuba_im_tpu.core.types import Float, Int
+    from mitsuba_im_tpu.integrators.bdpt import random_walk, camera_pdf_dir
+    from mitsuba_im_tpu.sensor.table import sample_ray
+    from mitsuba_im_tpu.bidir.verification import verify_walk
+    from test_bdpt import TestMediaAwareBDPT
+
+    scene, _ = TestMediaAwareBDPT()._global_medium_scene(
+        sigma_a=0.08, sigma_s=0.4, g=0.35)
+    n = 512
+    s = mrng.make_sampler(jnp.arange(n, dtype=jnp.uint32), 0, 7)
+    s, blk = mrng.next_block4(s)
+    uv = blk[..., :2]
+    o, d, _ = sample_ray(scene.sensor, uv, blk[..., 2:4])
+    mid0 = jnp.full((n,), scene.camera_medium, Int)
+    verts, s, esc, _ = random_walk(
+        scene, s, o, d, jnp.ones((n, 3), Float), camera_pdf_dir(scene, d),
+        4, o, d, medium0=mid0)
+    n_med = sum(int(np.asarray(v["is_med"] & v["valid"]).sum())
+                for v in verts)
+    assert n_med > 100, n_med  # medium vertices actually occur
+    rep = verify_walk(verts, o, adjoint=False, scene=scene)
+    assert rep["checked"] > 200
+    assert rep["pdf_err"] < 1e-3, rep
+    assert rep["beta_err"] < 1e-3, rep
