@@ -188,10 +188,15 @@ def main():
     try:
         from parity_check import run_parity
         par = run_parity(verbose=False)
+        grad = [c for c in par["checks"] if c["name"] == "grad_albedo"]
         parity = dict(metric="tpu_cpu_render_parity", unit="bool",
                       value=1.0 if par["ok"] else 0.0,
                       vs_baseline=1.0 if par["ok"] else 0.0,
-                      max_rel=max(c["rel"] for c in par["checks"]))
+                      max_rel=max(c["rel"] for c in par["checks"]),
+                      pixel_p999=max(c["p999"] for c in par["checks"]),
+                      pixel_frac_bad=max(c["frac_bad"]
+                                         for c in par["checks"]),
+                      grad_max_rel=grad[0]["rel"] if grad else None)
     except Exception as e:  # pragma: no cover
         parity = dict(metric="tpu_cpu_render_parity", unit="bool",
                       value=0.0, vs_baseline=0.0, error=repr(e)[:200])
