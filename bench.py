@@ -103,11 +103,15 @@ def bench_fwdbwd():
 
     scene, _settings = _tiny_cornell()
     max_depth = 5
-    cfg = PathConfig(max_depth=max_depth, remat=True)  # path replay
+    # remat_group=4: ONE checkpoint unit around the whole bounce loop —
+    # the backward pass replays the wavefront once instead of once per
+    # bounce, and the 4-bounce residual set still fits HBM at 1024^2.
+    # Measured 0.870 vs 0.471 Grays/s for per-bounce remat; gradients
+    # bitwise identical (see docs/PERF_NOTES.md round 5)
+    cfg = PathConfig(max_depth=max_depth, remat=True, remat_group=4)
     n_iters = max_depth - 1
-    # with per-bounce rematerialization the full 1024^2 wavefront fits in
-    # HBM and amortizes fixed costs better than the old 512^2 config
-    # (0.473 vs 0.457 Grays/s measured; see docs/PERF_NOTES.md)
+    # with rematerialization the full 1024^2 wavefront fits in HBM and
+    # amortizes fixed costs better than the old 512^2 config
     W = H = 1024
     n = W * H
 

@@ -154,6 +154,9 @@ def _bdpt(props: Properties, ctx=None):
 
 
 def _photon(name):
+    # photonmapper maps onto the progressive engine (sppm) with the same
+    # photon/gather machinery; volume photons + the beam radiance
+    # estimate (bre.cpp) are carried by sppm_pass on media scenes
     @register("integrator", name)
     def make(props: Properties, ctx=None, _n=name):
         ip = _mc_props(props)

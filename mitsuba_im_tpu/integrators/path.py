@@ -42,6 +42,9 @@ class PathConfig:
     strict_normals: bool = static_field(default=False)
     depth_budget: int = static_field(default=16)  # cap when max_depth == -1
     remat: bool = static_field(default=True)
+    # bounces per rematerialization unit: >1 trades more live residuals
+    # for fewer replays of the wavefront under reverse-mode
+    remat_group: int = static_field(default=1)
     # drop depth<=2 (directly visible emitters + single-bounce direct
     # lighting): the MLT separateDirect split (mlt.cpp directSamples)
     skip_direct: bool = static_field(default=False)
@@ -236,7 +239,22 @@ def path_li_v(scene: Scene, sampler: mrng.Sampler3, o: V3, d: V3,
             first = jax.checkpoint(first, prevent_cse=False)
         state = first(state)
         start = 1
-    state = jax.lax.fori_loop(start, n_iters, body, state)
+    g = max(int(cfg.remat_group), 1)
+    if cfg.remat and g > 1 and (n_iters - start) >= g:
+        n_groups = (n_iters - start) // g
+
+        def group_body(j, st):
+            for q in range(g):
+                st = bounce(start + j * g + q, st)
+            return st
+
+        state = jax.lax.fori_loop(
+            0, n_groups, jax.checkpoint(group_body, prevent_cse=False),
+            state)
+        state = jax.lax.fori_loop(start + n_groups * g, n_iters, body,
+                                  state)
+    else:
+        state = jax.lax.fori_loop(start, n_iters, body, state)
     return state["li"], state["sampler"]
 
 

@@ -62,8 +62,9 @@ def _cell_hash(c: jax.Array) -> jax.Array:
 
 
 def photon_trace(scene: Scene, sampler, n_particles: int, max_bounces: int,
-                 rr_depth: int = 5, want_surface: bool = False):
-    """Trace light paths, depositing a photon at every surface vertex.
+                 rr_depth: int = 5, want_surface: bool = False,
+                 want_volume: bool = False):
+    """Trace light paths, depositing a photon at every scattering event.
 
     Returns SoA photon arrays of length n_particles * max_bounces:
     (p (M,3), power (M,3), wi_world (M,3) — direction toward the light,
@@ -72,44 +73,105 @@ def photon_trace(scene: Scene, sampler, n_particles: int, max_bounces: int,
     fields (ns/ss/ts/uv/shape/wi_local) so the deposits can serve as
     virtual point lights (the VPL integrator's generateVPLs analog,
     ``src/librender/vpl.cpp``).
+
+    With ``want_volume`` (scenes with scattering media) each step also
+    races a free-flight distance against the surface hit and deposits
+    **volume photons** at medium scattering events — the storage half of
+    the beam radiance estimate (``photonmapper/bre.cpp`` +
+    ``particleproc.h:128-226`` ``handleMediumInteraction``).  Volume
+    photon power is the arriving flux with the free-flight weight but
+    WITHOUT sigma_s (the gather multiplies sigma_s x phase), so the beam
+    estimator integrates exactly the in-scattered source term.  Returns
+    an extra tuple (vp (M,3), vpow (M,3), vwi (M,3), vvalid (M,)).
     """
+    from ..media import medium as med
+    from .bdpt import _medium_transition, _seg_sigma
+
+    has_vol = want_volume and scene.media.any
     s = sampler
     s, blk = mrng.next_block4(s)
     s, blk2 = mrng.next_block4(s)
     ls = sample_emitter_ray(scene, blk[..., 0], blk[..., 1:3], blk2[..., 0:2])
-
-    hit = scene.ray_intersect(ls.p, ls.d)
-    it = scene.interaction(ls.p, ls.d, hit)
+    n = ls.p.shape[0]
 
     ps, powers, wis, valids = [], [], [], []
+    vps, vpows, vwis, vvalids = [], [], [], []
     surf = {k: [] for k in ("ns", "ss", "ts", "uv", "shape", "wi_local")}
-    state = dict(
-        thr=ls.weight, active=it.valid,
-        p=it.p, ns=it.ns, ng=it.ng, ss=it.ss, ts=it.ts_, uv=it.uv,
-        shape=it.shape, wi_local=it.wi_local, d_world=ls.d,
-        sampler=s,
-    )
+
+    prev_p = ls.p
+    cur_d = ls.d
+    thr = ls.weight
+    alive = jnp.ones((n,), bool)
+    mid = (jnp.full((n,), scene.camera_medium, Int)
+           if has_vol else None)
+
     for depth in range(1, max_bounces + 1):
-        st = state
-        bparams = scene.bsdf_at(_fake_it(st))
-        # deposit at smooth vertices only (delta surfaces store no flux)
-        smooth = st["active"] & ~lane_is_delta(bparams)
-        ps.append(st["p"])
-        powers.append(jnp.where(smooth[..., None], st["thr"], 0.0))
-        wis.append(-st["d_world"])
+        hit = scene.ray_intersect(prev_p, cur_d)
+        it = scene.interaction(prev_p, cur_d, hit)
+
+        if has_vol:
+            s, mblk = mrng.next_block4(s)
+            ss_m, st_m, pt_m, g_m = med.medium_params(scene.media, mid)
+            sbar = _seg_sigma(scene, mid)
+            t_m = jnp.where(
+                sbar > 0,
+                -jnp.log(jnp.maximum(1.0 - mblk[..., 0], 1e-20))
+                / jnp.maximum(sbar, 1e-20), 3e37)
+            t_surf = jnp.where(it.valid, hit.t, 3e37)
+            in_scat = alive & (sbar > 0) & (t_m < t_surf)
+            t_fin = jnp.where(in_scat, t_m, t_surf)
+            tr_full = med.transmittance(st_m, jnp.minimum(t_fin, 1e30))
+            pdf_t = jnp.maximum(sbar, 1e-20) * jnp.exp(-sbar * t_m)
+            p_srf = jnp.maximum(jnp.exp(
+                -sbar * jnp.minimum(t_surf, 1e30)), 1e-20)
+            # volume deposit: flux arriving at the event (no sigma_s)
+            phi_v = thr * tr_full / pdf_t[..., None]
+            p_med = prev_p + cur_d * jnp.where(in_scat, t_m, 0.0)[..., None]
+            vps.append(p_med)
+            vpows.append(jnp.where(in_scat[..., None], phi_v, 0.0))
+            vwis.append(-cur_d)
+            vvalids.append(in_scat)
+            # surviving-to-surface lanes reweight; scattering lanes pick
+            # up sigma_s and a phase-sampled continuation
+            w_med = tr_full * (ss_m / pdf_t[..., None])
+            w_srf = tr_full / p_srf[..., None]
+            thr = thr * jnp.where(in_scat[..., None], w_med, w_srf)
+            surf_ok = alive & it.valid & ~in_scat
+        else:
+            in_scat = jnp.zeros((n,), bool)
+            surf_ok = alive & it.valid
+
+        bparams = scene.bsdf_at(_fake_it(dict(
+            p=it.p, ng=it.ng, ns=it.ns, ss=it.ss, ts=it.ts_, uv=it.uv,
+            wi_local=it.wi_local, shape=it.shape, active=surf_ok)))
+        # deposit at smooth surface vertices (delta surfaces store no flux)
+        smooth = surf_ok & ~lane_is_delta(bparams)
+        ps.append(it.p)
+        powers.append(jnp.where(smooth[..., None], thr, 0.0))
+        wis.append(-cur_d)
         valids.append(smooth)
         if want_surface:
-            for k in surf:
-                surf[k].append(st[k])
+            for k in ("ns", "ss", "uv", "shape", "wi_local"):
+                surf[k].append(getattr(it, k if k != "ts" else "ts_"))
+            surf["ts"].append(it.ts_)
 
-        s = st["sampler"]
         s, bsdf_blk = mrng.next_block4(s)
-        bs = bsdf_sample(bparams, st["wi_local"], bsdf_blk[..., 0],
+        bs = bsdf_sample(bparams, it.wi_local, bsdf_blk[..., 0],
                          bsdf_blk[..., 1:3], bsdf_blk[..., 3])
-        frame = (st["ss"], st["ts"], st["ns"])
-        wo_world = m.Frame.to_world(frame, bs.wo)
-        thr = st["thr"] * bs.weight
-        act = st["active"] & (jnp.sum(thr, axis=-1) > 0)
+        frame = (it.ss, it.ts_, it.ns)
+        wo_surf = m.Frame.to_world(frame, bs.wo)
+        if has_vol:
+            wo_ph, _pdf_ph = med.phase_sample(pt_m, g_m, -cur_d,
+                                              mblk[..., 1:3])
+            wo_world = jnp.where(in_scat[..., None], wo_ph, wo_surf)
+            w_step = jnp.where(in_scat[..., None], 1.0, bs.weight)
+            next_p = jnp.where(in_scat[..., None], p_med, it.p)
+        else:
+            wo_world = wo_surf
+            w_step = bs.weight
+            next_p = it.p
+        thr = thr * jnp.where(in_scat[..., None], 1.0, w_step)
+        act = (surf_ok | in_scat) & (jnp.sum(thr, axis=-1) > 0)
 
         s, rr_blk = mrng.next_block4(s)
         q = jnp.minimum(jnp.max(thr, axis=-1), 0.95)
@@ -117,22 +179,26 @@ def photon_trace(scene: Scene, sampler, n_particles: int, max_bounces: int,
         kill = do_rr & (rr_blk[..., 0] >= q)
         thr = jnp.where((do_rr & ~kill)[..., None],
                         thr / jnp.maximum(q, 1e-6)[..., None], thr)
-        act = act & ~kill
-
-        hit2 = scene.ray_intersect(st["p"], wo_world)
-        it2 = scene.interaction(st["p"], wo_world, hit2)
-        act = act & it2.valid
-        state = dict(
-            thr=thr, active=act,
-            p=it2.p, ns=it2.ns, ng=it2.ng, ss=it2.ss, ts=it2.ts_, uv=it2.uv,
-            shape=it2.shape, wi_local=it2.wi_local, d_world=wo_world,
-            sampler=s,
-        )
+        alive = act & ~kill
+        if has_vol:
+            mid = jnp.where(
+                surf_ok, _medium_transition(scene, it.shape, wo_world,
+                                            it.ng, mid), mid)
+        prev_p = next_p
+        cur_d = wo_world
 
     base = (jnp.concatenate(ps), jnp.concatenate(powers),
             jnp.concatenate(wis), jnp.concatenate(valids))
     if want_surface:
-        return base + ({k: jnp.concatenate(v) for k, v in surf.items()},)
+        base = base + ({k: jnp.concatenate(v) for k, v in surf.items()},)
+    if want_volume:
+        if has_vol:
+            vol = (jnp.concatenate(vps), jnp.concatenate(vpows),
+                   jnp.concatenate(vwis), jnp.concatenate(vvalids))
+        else:
+            z = jnp.zeros((1, 3), Float)
+            vol = (z, z, z, jnp.zeros((1,), bool))
+        base = base + (vol,)
     return base
 
 
@@ -214,6 +280,72 @@ def gather(p_photon, power, wi_photon, order, bucket_sorted, x, frame_ss,
     return acc, cnt
 
 
+def beam_gather(scene, vp, vpow, vwi, order_v, bsorted_v, o, d, t_seg, mid,
+                cell_v, cap: int, n_steps: int, u_jit):
+    """Beam radiance estimate along camera segments (bre.cpp analog).
+
+    Stratified-jittered quadrature of the beam integral
+    L = int_0^T Tr(t) sigma_s(x_t) sum_j phase_j Phi_j K3(x_t - x_j) dt:
+    ``n_steps`` sample points per ray per pass (unbiased in expectation
+    over the per-pass jitter w.r.t. the kernel field), each gathering the
+    27-neighborhood of the volume-photon hash grid with a 3D Epanechnikov
+    kernel.  Homogeneous media (heterogeneous beams are carried by
+    volpath; documented).
+    """
+    from ..media import medium as med
+
+    n = o.shape[0]
+    ss_m, st_m, pt_m, g_m = med.medium_params(scene.media, mid)
+    in_med = jnp.mean(ss_m, -1) > 0
+    T = jnp.where(in_med, jnp.minimum(t_seg, 1e4), 0.0)
+    dt = T / n_steps
+    r2v = cell_v * cell_v
+    M = bsorted_v.shape[0]
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], jnp.int32)
+
+    acc = jnp.zeros((n, 3), Float)
+    for k in range(n_steps):
+        t_k = (k + u_jit) * dt
+        x = o + d * t_k[..., None]
+        tr_k = med.transmittance(st_m, t_k)
+        base = jnp.floor(x / cell_v).astype(jnp.int32)
+        cc = base[None, :, :] + offs[:, None, :]
+        b = _cell_hash(cc)
+        starts = jnp.searchsorted(bsorted_v, b, side="left")
+        ends = jnp.searchsorted(bsorted_v, b, side="right")
+        fulls = ends - starts
+        runs = jnp.minimum(fulls, cap)
+
+        def body(j, a):
+            ci = j // cap
+            kk = j % cap
+            start = jax.lax.dynamic_index_in_dim(starts, ci, 0,
+                                                 keepdims=False)
+            run = jax.lax.dynamic_index_in_dim(runs, ci, 0, keepdims=False)
+            full = jax.lax.dynamic_index_in_dim(fulls, ci, 0,
+                                                keepdims=False)
+            idx = jnp.minimum(start + kk, M - 1)
+            pid = order_v[idx]
+            ok = kk < run
+            over = (full.astype(Float)
+                    / jnp.maximum(run.astype(Float), 1.0))
+            dd = x - vp[pid]
+            d2 = jnp.sum(dd * dd, axis=-1)
+            ok = ok & (d2 <= r2v)
+            # 3D Epanechnikov kernel (normalized over the ball)
+            kern = (15.0 / (8.0 * jnp.pi * r2v * cell_v)) \
+                * (1.0 - d2 / jnp.maximum(r2v, 1e-20))
+            ph = med.phase_eval(pt_m, g_m, vwi[pid], -d)
+            contrib = vpow[pid] * (ph * kern * over)[..., None]
+            return a + jnp.where(ok[..., None], contrib, 0.0)
+
+        s_k = jax.lax.fori_loop(0, 27 * cap, body, jnp.zeros((n, 3), Float))
+        acc = acc + tr_k * ss_m * s_k * dt[..., None]
+    return acc
+
+
 def eye_pass(scene: Scene, sampler, width, height, max_delta_bounces: int):
     """Camera rays -> first smooth vertex (walking through delta chains).
 
@@ -237,6 +369,18 @@ def eye_pass(scene: Scene, sampler, width, height, max_delta_bounces: int):
     hit = scene.ray_intersect(o, d)
     it = scene.interaction(o, d, hit)
     esc = ~it.valid
+    bsr = scene.emitters.bsphere_radius
+    t_seg = jnp.where(it.valid, hit.t, 2.2 * bsr)
+    prim = dict(o=o, d=d, t=t_seg)
+    if scene.media.any:
+        # primary-segment transmittance (delta-chain segments through
+        # media are carried by volpath; documented approximation)
+        from ..media import medium as med
+
+        mid0 = jnp.full((n,), scene.camera_medium, Int)
+        _ss, st_m, _pt, _g = med.medium_params(scene.media, mid0)
+        thr = thr * med.transmittance(st_m, t_seg)
+        prim["mid"] = mid0
     le = le + jnp.where(esc[..., None], thr * em.eval_environment(scene.emitters, d), 0.0)
     eid = scene.emitter_at(it)
     le = le + jnp.where(it.valid[..., None],
@@ -292,7 +436,7 @@ def eye_pass(scene: Scene, sampler, width, height, max_delta_bounces: int):
 
     st = state
     gatherable = st["settled"] & st["active"]
-    return pos, st, gatherable
+    return pos, st, gatherable, prim
 
 
 @functools.partial(
@@ -310,13 +454,14 @@ def sppm_pass(scene: Scene, stats, pass_idx, seed, cell, *, width, height,
     n = width * height
     pix = jnp.arange(n, dtype=U32)
     s_eye = mrng.make_sampler(pix, pass_idx, seed)
-    pos, st, gatherable = eye_pass(scene, s_eye, width, height,
-                                   max_delta_bounces=6)
+    pos, st, gatherable, prim = eye_pass(scene, s_eye, width, height,
+                                         max_delta_bounces=6)
 
     pid = jnp.arange(n_photons, dtype=U32)
     s_ph = mrng.make_sampler(pid, pass_idx, seed ^ U32(0x5F3759DF))
-    p_ph, pw_ph, wi_ph, v_ph = photon_trace(scene, s_ph, n_photons,
-                                            max_bounces)
+    has_vol = bool(scene.media.any)
+    p_ph, pw_ph, wi_ph, v_ph, vol = photon_trace(
+        scene, s_ph, n_photons, max_bounces, want_volume=True)
 
     order, bsorted = build_grid(p_ph, v_ph, cell)
     bparams = scene.bsdf_at(_fake_it(st))
@@ -334,6 +479,19 @@ def sppm_pass(scene: Scene, stats, pass_idx, seed, cell, *, width, height,
     r2_new = stats["r2"] * ratio
     tau_new = (stats["tau"] + flux / n_photons) * ratio[..., None]
     ld_new = stats["ld"] + st["le"]
+
+    if has_vol:
+        # beam radiance estimate over the primary in-medium segment
+        # (photonmapper/bre.cpp analog); fixed volume radius = cell,
+        # averaged per pass through the ld accumulator
+        vp, vpow, vwi, vvalid = vol
+        order_v, bsorted_v = build_grid(vp, vvalid, cell)
+        s_b = mrng.make_sampler(pix, pass_idx, seed ^ U32(0xBEA11BEA))
+        _s_b, bblk = mrng.next_block4(s_b)
+        lb = beam_gather(scene, vp, vpow, vwi, order_v, bsorted_v,
+                         prim["o"], prim["d"], prim["t"], prim["mid"],
+                         cell, cap, 24, bblk[..., 0])
+        ld_new = ld_new + lb / n_photons
 
     return dict(r2=r2_new, n=n_new, tau=tau_new, ld=ld_new)
 

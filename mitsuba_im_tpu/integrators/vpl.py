@@ -43,7 +43,7 @@ def vpl_pass(scene: Scene, img, pass_idx, seed, *, width, height, n_paths,
     n = width * height
     pix = jnp.arange(n, dtype=U32)
     s_eye = mrng.make_sampler(pix, pass_idx, seed)
-    pos, st, gatherable = eye_pass(scene, s_eye, width, height,
+    pos, st, gatherable, _prim = eye_pass(scene, s_eye, width, height,
                                    max_delta_bounces=4)
     bp_eye = scene.bsdf_at(_fake_it(st))
     li = st["le"]
