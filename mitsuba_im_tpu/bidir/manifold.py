@@ -147,8 +147,12 @@ def manifold_walk(scene, start, positions, target, eta,
     step_b = jax.vmap(_newton_step, in_axes=(0, 0, 0, 0, 0, None))
 
     def body(_, carry):
-        p, n, s, ok = carry
+        p, n, s, ok, scale = carry
+        r_old = jnp.abs(jax.vmap(chain_constraints)(
+            start, p, target, n, eta)).max(-1)
         tent, _resid = step_b(start, p, target, n, eta, damping)
+        # per-lane backtracking scale (damped Newton)
+        tent = p + scale[:, None, None] * (tent - p)
         # sequential re-projection along the chain keeps vertices on the
         # true manifold (tangent steps alone leave the surface)
         prev = start
@@ -164,13 +168,26 @@ def manifold_walk(scene, start, positions, target, eta,
         p2 = jnp.stack(new_p, 1)
         n2 = jnp.stack(new_n, 1)
         s2 = jnp.stack(new_s, 1)
-        # walks that lost a surface keep their previous state
-        keep = okp[:, None, None]
+        # step control (SpecularManifold::move's trust-region analog):
+        # accept only steps that reduce the constraint residual — the raw
+        # Newton+reproject update can jump to the wrong surface or
+        # amplify f32 noise through near-grazing chords, walking AWAY
+        # from an already-converged chain otherwise.  Rejected lanes
+        # halve their step (backtracking) and retry next iteration;
+        # accepted lanes reset to full steps.  Walks that lost a surface
+        # keep their previous state.
+        r_new = jnp.abs(jax.vmap(chain_constraints)(
+            start, p2, target, n2, eta)).max(-1)
+        accept = okp & (r_new < r_old)
+        scale = jnp.where(accept, 1.0, jnp.maximum(scale * 0.5, 1.0 / 64.0))
+        keep = accept[:, None, None]
         return (jnp.where(keep, p2, p), jnp.where(keep, n2, n),
-                jnp.where(okp[:, None], s2, s), ok)
+                jnp.where(keep[:, :, 0], s2, s), ok, scale)
 
-    p, n, s, _ = jax.lax.fori_loop(
-        0, n_iter, body, (positions, normals, shapes, ok0))
+    p, n, s, _, _ = jax.lax.fori_loop(
+        0, n_iter, body,
+        (positions, normals, shapes, ok0,
+         jnp.ones(positions.shape[0], positions.dtype)))
 
     resid = jax.vmap(chain_constraints)(start, p, target, n, eta)
     converged = ok0 & (jnp.abs(resid).max(-1) < tol)

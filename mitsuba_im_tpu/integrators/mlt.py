@@ -48,15 +48,23 @@ Measured on the glass-sphere caustic scene (tests/test_mcmc.py):
 caustic-region relative error 0.135 (bidir MLT) vs 0.366 (path tracer)
 vs 0.64 (eye-replay MLT) at equal mutation budget.
 
-Remaining documented deviation (narrowed): the reference's *manifold*
-perturbation (``mut_manifold.cpp``) — explicit Newton re-solve of
-specular chains with its transition density Q — is not a production
-mutation here.  The batched Newton walk and the manifold-map determinant
-it needs exist and are verified (:mod:`..bidir.manifold`,
-``manifold_map_det`` with a detailed-balance chi-square test), but the
-PSS-coordinate inverse warps needed to express a geometric proposal as a
-table edit remain unbuilt; the bidirectional strategy space above covers
-the caustic use case that motivated the mutator.
+**Manifold perturbation (round 5)**: the reference's ``mut_manifold.cpp``
+is now a production mutation (``p_manifold`` in the mixture, bidirectional
+space): :func:`_manifold_tables` perturbs the endpoint after a specular
+chain, Newton-re-solves the chain (:mod:`..bidir.manifold`), and writes
+the move back as a primary-sample table edit through the exact
+cosine-hemisphere inverse warp, with the asymmetric proposal's
+D(x')/D(x) (manifold-map determinants, the quantity whose
+detailed-balance reciprocity tests/test_manifold.py verifies) carried
+into the acceptance.  Non-matching lanes propose the identity, so the
+component kernel stays well-defined.  Measured honestly: on the
+glass-sphere caustic scene the mutation does NOT beat the bidirectional
+splat space at equal budget (caustic err 0.099 vs 0.084 at
+p_manifold=0.15 — light tracing already covers camera-visible
+receivers), so the default weight is small (0.05); its win class is
+doubly-specular-separated (SDS) transport where both endpoint
+connections are blocked, which needs the deeper chain-start patterns
+(a = eye_vs[i0], i0 > 0) listed as the remaining extension.
 """
 from __future__ import annotations
 
@@ -85,6 +93,16 @@ class MLTConfig:
     p_lens: float = static_field(default=0.35)
     p_caustic: float = static_field(default=0.2)
     p_mchain: float = static_field(default=0.15)
+    # manifold perturbation (mut_manifold.cpp analog, bidirectional space
+    # only): Newton-re-solved specular-chain moves expressed as
+    # primary-sample table edits; see _manifold_tables
+    p_manifold: float = static_field(default=0.05)
+    # tangent step as a fraction of the scene bounding radius; measured
+    # Newton+backtracking convergence radius on the caustic scene's glass
+    # chains is ~2e-4 x bsphere (larger steps fail to re-converge and
+    # propose identity), so the default stays inside it — the reference's
+    # manifold perturbation is likewise a small-step local move
+    manifold_sigma: float = static_field(default=2e-4)
     # remaining probability: plain Kelemen small step
     s1: float = static_field(default=1.0 / 1024.0)
     s2: float = static_field(default=1.0 / 64.0)
@@ -99,10 +117,12 @@ class MLTConfig:
     # (bidir/pathsampler.py = pathsampler.h:121 sampleSplats): light-tracing
     # strategies enter the chain's strategy space, so caustics seen through
     # glass are exploitable by perturbation instead of being separated from
-    # the eye-replay space by a zero-contribution moat.  The reference MLT
-    # always runs over PathSampler; here it is a mode because the
-    # unidirectional replay is ~2x cheaper per mutation on open scenes.
-    bidirectional: bool = static_field(default=False)
+    # the eye-replay space by a zero-contribution moat.  ON by default for
+    # reference parity (MLT always runs over PathSampler) — the mutation
+    # cost was measured at only 1.10x eye-replay (260 vs 236 ns/mutation,
+    # Cornell depth 6, docs/PERF_NOTES.md round 5), so the old "~2x
+    # cheaper" rationale for defaulting to eye replay was wrong.
+    bidirectional: bool = static_field(default=True)
     # scene has participating media (threads the extra per-step walk
     # block through the bidirectional table layout)
     media_blocks: bool = static_field(default=False)
@@ -124,10 +144,146 @@ def _lens_step(u_img, r, phi):
     return up - jnp.floor(up)
 
 
-def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed):
+def _manifold_tables(scene, table, cfg, u_gauss):
+    """Manifold perturbation as a primary-sample-space table edit
+    (``/root/reference/src/libbidir/mut_manifold.cpp`` analog).
+
+    For eye paths of shape  a(diffuse) -> S..S(delta chain, K in {1,2})
+    -> b(non-delta):  perturb ``b`` on its tangent plane (Gaussian),
+    Newton-re-solve the specular chain (:func:`..bidir.manifold
+    .manifold_walk`), and express the move as an edit of ``a``'s
+    cosine-hemisphere sample via the exact inverse warp
+    (u1 = x^2+y^2, u2 = atan2(y,x)/2pi).  The proposal is asymmetric:
+    the acceptance carries D(x')/D(x) with
+    D = (cos_a/pi) * (cos_c0/d^2) * |det J_manifold|, the density of the
+    table coordinates as a function of the perturbed endpoint — J from
+    :func:`..bidir.manifold.manifold_map_jacobian` (the same determinant
+    whose reciprocity the detailed-balance chi2 in tests/test_manifold.py
+    verifies).  Lanes without a matching chain propose the identity
+    (a no-op accept), so the component kernel stays well-defined;
+    non-converged walks and warps leaving the hemisphere are identity
+    too.  Only the bidirectional table layout is supported (the eye walk
+    IS bdpt's random_walk there).
+
+    Returns (prop_table, corr (N,) multiplicative acceptance factor,
+    moved (N,)).
+    """
+    from ..bidir import manifold as mf
+    from ..bsdf import common as bc
+    from .bdpt import random_walk, camera_pdf_dir, _dir
+    from ..sensor.table import sample_ray
+    from ..core import math as m
+
+    n = table.shape[0]
+    chain = jnp.arange(n, dtype=U32)
+    s = mrng.make_sampler(chain, jnp.uint32(0), jnp.uint32(0))
+    s = s.replace(table=table)
+    s, blk0 = mrng.next_block4(s)
+    uv = blk0[..., 0:2]
+    o, d, _w = sample_ray(scene.sensor, uv, blk0[..., 2:4])
+    has_media = bool(scene.media.any)
+    mid0 = (jnp.full((n,), scene.camera_medium, jnp.int32)
+            if has_media else None)
+    eye_vs, s, _esc, _ = random_walk(
+        scene, s, o, d, jnp.ones((n, 3), Float), camera_pdf_dir(scene, d),
+        cfg.max_depth, o, d, medium0=mid0)
+    per_step = 2 if cfg.media_blocks else 1
+    blk_a = 1 + (per_step - 1)  # a's bsdf block (walk step 0)
+
+    # Box-Muller from the two mutation-selection uniforms
+    r_g = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u_gauss[:, 0], 1e-12)))
+    g1 = r_g * jnp.cos(2.0 * jnp.pi * u_gauss[:, 1])
+    g2 = r_g * jnp.sin(2.0 * jnp.pi * u_gauss[:, 1])
+    sigma = cfg.manifold_sigma * scene.emitters.bsphere_radius
+
+    prop = table
+    corr = jnp.ones((n,), Float)
+    moved = jnp.zeros((n,), bool)
+
+    for K in (1, 2):
+        if K + 1 >= len(eye_vs):
+            continue
+        a = eye_vs[0]
+        ch = eye_vs[1:1 + K]
+        b = eye_vs[K + 1]
+        pat = a["valid"] & ~a["delta"] & b["valid"] & ~b["delta"]
+        for c in ch:
+            pat = pat & c["valid"] & c["delta"]
+        # the inverse warp is exact for cosine-hemisphere lobes only
+        pat = pat & (a["bp"].type == bc.DIFFUSE)
+
+        # per-vertex relative IOR from the replayed geometry: reflection
+        # keeps eta=1; refraction uses eta_s oriented by the crossing
+        pos = jnp.stack([c["p"] for c in ch], axis=1)        # (N, K, 3)
+        nrm = jnp.stack([c["ns"] for c in ch], axis=1)
+        etas = []
+        for i, c in enumerate(ch):
+            nxt = b["p"] if i == K - 1 else ch[i + 1]["p"]
+            wo_c = _dir(c["p"], nxt)
+            wi_c = c["wi_world"] if "wi_world" in c else -_dir(
+                (a["p"] if i == 0 else ch[i - 1]["p"]), c["p"])
+            ci = m.dot(wi_c, c["ns"])
+            co = m.dot(wo_c, c["ns"])
+            refr = ci * co < 0
+            entering = ci > 0
+            es = jnp.maximum(c["bp"].eta_s, 1e-3)
+            etas.append(jnp.where(refr,
+                                  jnp.where(entering, es, 1.0 / es), 1.0))
+        eta = jnp.stack(etas, axis=1)                        # (N, K)
+
+        tb, bb = mf._tangent_frame(b["ns"])
+        b_new = b["p"] + sigma * (g1[:, None] * tb + g2[:, None] * bb)
+        p2, n2, s2, conv = mf.manifold_walk(scene, a["p"], pos, b_new, eta)
+        # chain must stay on the same surfaces (a jump to another shape
+        # breaks the reverse-proposal structure)
+        same = conv
+        for i, c in enumerate(ch):
+            same = same & (s2[:, i] == c["shape"])
+
+        wo_new = _dir(a["p"], p2[:, 0])
+        fr = (a["ss"], a["ts"], a["ns"])
+        wol = m.Frame.to_local(fr, wo_new)
+        ok = pat & same & (wol[..., 2] > 1e-4)
+        u1 = jnp.clip(wol[..., 0] ** 2 + wol[..., 1] ** 2, 0.0, 0.999999)
+        ph = jnp.arctan2(wol[..., 1], wol[..., 0]) / (2.0 * jnp.pi)
+        u2 = ph - jnp.floor(ph)
+
+        # D at both states (vmapped 2x2 manifold-map determinants)
+        det_b = jax.vmap(mf.manifold_map_det,
+                         in_axes=(0, 0, 0, 0, 0, (0, 0)))
+        d_old = det_b(a["p"], pos, b["p"], nrm, eta, (tb, bb))
+        d_new = det_b(a["p"], p2, b_new, n2, eta, (tb, bb))
+        wo_old = _dir(a["p"], ch[0]["p"])
+        cos_a_old = jnp.abs(m.dot(wo_old, a["ns"]))
+        cos_a_new = jnp.abs(wol[..., 2])
+        d2_old = jnp.sum((ch[0]["p"] - a["p"]) ** 2, -1)
+        d2_new = jnp.sum((p2[:, 0] - a["p"]) ** 2, -1)
+        cos_c_old = jnp.abs(m.dot(wo_old, ch[0]["ns"]))
+        cos_c_new = jnp.abs(m.dot(wo_new, n2[:, 0]))
+        D_old = cos_a_old * cos_c_old / jnp.maximum(d2_old, 1e-12) * d_old
+        D_new = cos_a_new * cos_c_new / jnp.maximum(d2_new, 1e-12) * d_new
+        ratio = jnp.where((D_old > 1e-20) & (D_new > 1e-20),
+                          D_new / jnp.maximum(D_old, 1e-20), 0.0)
+        ok = ok & (ratio > 0) & jnp.isfinite(ratio)
+
+        edit = table.at[:, blk_a, 1].set(jnp.where(ok, u1,
+                                                   table[:, blk_a, 1]))
+        edit = edit.at[:, blk_a, 2].set(jnp.where(ok, u2,
+                                                  edit[:, blk_a, 2]))
+        prop = jnp.where(ok[:, None, None], edit, prop)
+        corr = jnp.where(ok, ratio, corr)
+        moved = moved | ok
+    return prop, corr, moved
+
+
+def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed,
+                    scene=None):
     """Build the proposal table for every chain (mixture of mutators).
 
-    u_aux: (N, 4) mutation-selection uniforms.  Returns (prop, is_large).
+    u_aux: (N, 4) mutation-selection uniforms.  Returns
+    (prop, is_large, corr) with ``corr`` the multiplicative acceptance
+    factor of asymmetric components (1 for the symmetric PSS mutators,
+    D(x')/D(x) for manifold perturbations).
     """
     n_blocks = _n_blocks(_pss_cfg(cfg))
     n_iters = max(cfg.max_depth - 1, 0)
@@ -143,10 +299,14 @@ def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed):
     p1 = p0 + cfg.p_lens
     p2 = p1 + cfg.p_caustic
     p3 = p2 + cfg.p_mchain
+    use_manifold = (scene is not None and cfg.bidirectional
+                    and cfg.p_manifold > 0)
+    p4 = p3 + (cfg.p_manifold if use_manifold else 0.0)
     is_large = u < p0
     is_lens = (u >= p0) & (u < p1)
     is_caustic = (u >= p1) & (u < p2)
     is_mchain = (u >= p2) & (u < p3)
+    is_manifold = (u >= p3) & (u < p4)
 
     # exponential radius r2*exp(-log(r2/r1)*xi) (mut_lens.h sampling)
     r = cfg.lens_r2 * jnp.exp(-jnp.log(cfg.lens_r2 / cfg.lens_r1)
@@ -189,12 +349,18 @@ def mlt_step_tables(table, u_aux, cfg: MLTConfig, chain, t, seed):
     else:
         mchain_tab = lens_tab
 
+    corr = jnp.ones((N,), Float)
     prop = small
+    if use_manifold:
+        man_tab, man_corr, _moved = _manifold_tables(
+            scene, table, cfg, u_aux[:, 1:3])
+        prop = jnp.where(is_manifold[:, None, None], man_tab, prop)
+        corr = jnp.where(is_manifold, man_corr, corr)
     prop = jnp.where(is_mchain[:, None, None], mchain_tab, prop)
     prop = jnp.where(is_caustic[:, None, None], caustic_tab, prop)
     prop = jnp.where(is_lens[:, None, None], lens_tab, prop)
     prop = jnp.where(is_large[:, None, None], fresh, prop)
-    return prop, is_large
+    return prop, is_large, corr
 
 
 @functools.partial(
@@ -216,14 +382,16 @@ def mlt_run(scene: Scene, img: jax.Array, state, seed, step0, *, cfg,
         t = step0 + i.astype(U32)
         u_misc = _draw_table(chain, t, seed, 2, stream=4)[:, :, :]
         u_aux = u_misc[:, 0, :]
-        prop, is_large = mlt_step_tables(table, u_aux, cfg, chain, t, seed)
+        prop, is_large, corr = mlt_step_tables(table, u_aux, cfg, chain,
+                                               t, seed, scene=scene)
 
         pos_p, color_p, I_p = _eval(scene, prop, pss, width, height)
 
         b_sum = b_sum + jnp.sum(jnp.where(is_large, I_p, 0.0))
         b_cnt = b_cnt + jnp.sum(is_large.astype(Float))
 
-        a = jnp.where(I > 0, jnp.minimum(1.0, I_p / jnp.maximum(I, 1e-30)),
+        a = jnp.where(I > 0,
+                      jnp.minimum(1.0, corr * I_p / jnp.maximum(I, 1e-30)),
                       jnp.where(I_p > 0, 1.0, 0.0))
 
         if accumulate:
@@ -258,12 +426,14 @@ def render_mlt(scene: Scene, settings, spp: int | None = None,
         p_lens=ip.get("p_lens", 0.35),
         p_caustic=ip.get("p_caustic", 0.2),
         p_mchain=ip.get("p_mchain", 0.15),
+        p_manifold=ip.get("p_manifold", 0.05),
+        manifold_sigma=ip.get("manifold_sigma", 2e-4),
         # the bidirectional splat space already carries depth<=2 strategies
         # with full MIS, so the separate-direct split (an eye-replay
         # variance fix) would double-count them; it is forced off
         separate_direct=(ip.get("separate_direct", True)
-                         and not ip.get("bidirectional", False)),
-        bidirectional=ip.get("bidirectional", False),
+                         and not ip.get("bidirectional", True)),
+        bidirectional=ip.get("bidirectional", True),
         media_blocks=bool(scene.media.any),
         direct_samples=ip.get("direct_samples", 16),
     )

@@ -280,7 +280,7 @@ def render_pssmlt(scene: Scene, settings, spp: int | None = None,
         p_large=ip.get("p_large", ip.get("luminance_samples_frac", 0.3)),
         n_chains=ip.get("n_chains", 8192),
         burn_in=ip.get("burn_in", 32),
-        bidirectional=ip.get("bidirectional", False),
+        bidirectional=ip.get("bidirectional", True),
         media_blocks=bool(scene.media.any),
     )
     W, H = settings.width, settings.height
