@@ -188,7 +188,6 @@ def _manifold_tables(scene, table, cfg, u_gauss):
         scene, s, o, d, jnp.ones((n, 3), Float), camera_pdf_dir(scene, d),
         cfg.max_depth, o, d, medium0=mid0)
     per_step = 2 if cfg.media_blocks else 1
-    blk_a = 1 + (per_step - 1)  # a's bsdf block (walk step 0)
 
     # Box-Muller from the two mutation-selection uniforms
     r_g = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u_gauss[:, 0], 1e-12)))
@@ -200,13 +199,26 @@ def _manifold_tables(scene, table, cfg, u_gauss):
     corr = jnp.ones((n,), Float)
     moved = jnp.zeros((n,), bool)
 
-    for K in (1, 2):
-        if K + 1 >= len(eye_vs):
+    # chain-start offsets: i0=0 covers receivers seen directly by the
+    # camera; i0=2 covers SDS transport (receiver seen THROUGH a leading
+    # two-vertex specular chain, e.g. a caustic behind glass) — there both
+    # endpoint connections are specular-blocked and this mutation is the
+    # only local move that tracks the chain (mut_manifold.cpp's motivating
+    # class).  Measured on the glass-sphere caustic scene: SDS candidates
+    # are rare (~1e-4 of random states) and their 4-constraint chains sit
+    # outside the damped walk's convergence basin when the endpoint is
+    # the small light sphere, so these lanes currently no-op (safe);
+    # widening the basin (better preconditioning) is the open item.
+    for i0, K in ((0, 1), (0, 2), (2, 1), (2, 2)):
+        if i0 + K + 1 >= len(eye_vs):
             continue
-        a = eye_vs[0]
-        ch = eye_vs[1:1 + K]
-        b = eye_vs[K + 1]
+        blk_a = 1 + per_step * i0 + (per_step - 1)
+        a = eye_vs[i0]
+        ch = eye_vs[i0 + 1:i0 + 1 + K]
+        b = eye_vs[i0 + K + 1]
         pat = a["valid"] & ~a["delta"] & b["valid"] & ~b["delta"]
+        for j in range(i0):  # leading specular prefix (SDS patterns)
+            pat = pat & eye_vs[j]["valid"] & eye_vs[j]["delta"]
         for c in ch:
             pat = pat & c["valid"] & c["delta"]
         # the inverse warp is exact for cosine-hemisphere lobes only
